@@ -1,0 +1,87 @@
+"""Benchmark: flagship-config inference throughput on one TPU chip.
+
+Protocol (BASELINE.md north star — clips/sec/chip on Ref-YouTube-VOS-style
+inference): flagship model (resnet50, FTF=8, IQT, box refine, binary),
+5-frame clips at the reference's val resolution (360 short side, max 640 —
+padded to 384x640 for static shapes), batch 1, steady-state over repeated
+jitted forwards after warmup.
+
+Baseline: the reference repo publishes no numbers (BASELINE.md). The
+``vs_baseline`` field is computed against REFERENCE_GPU_CLIPS_PER_SEC below —
+a documented estimate of the reference stack's single-GPU throughput at the
+same resolution (PyTorch eager ReferFormer-class models with the CUDA
+MSDeformAttn run ~5-10 clips/s on an A100 at this size; we use 8.0). The
+driver's target is vs_baseline >= 3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+REFERENCE_GPU_CLIPS_PER_SEC = 8.0  # documented estimate, see module docstring
+
+T = 5
+H, W = 384, 640
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    from tce_rvos_tpu.config import ModelConfig
+    from tce_rvos_tpu.models.build import build_model, example_inputs
+
+    cfg = ModelConfig(with_box_refine=True, binary=True, f_token=8, qtrans=True)
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=1, t=T, hw=(H, W), text_len=8)
+
+    init = jax.jit(model.init)
+    variables = init(jax.random.PRNGKey(0), **inputs)
+
+    @jax.jit
+    def fwd(variables, video, video_mask, text_ids, text_attn_mask, sizes):
+        out = model.apply(
+            variables,
+            video=video,
+            video_mask=video_mask,
+            text_ids=text_ids,
+            text_attn_mask=text_attn_mask,
+            sizes=sizes,
+        )
+        return out["pred_masks"], out["pred_logits"]
+
+    args = (
+        variables,
+        inputs["video"],
+        inputs["video_mask"],
+        inputs["text_ids"],
+        inputs["text_attn_mask"],
+        inputs["sizes"],
+    )
+
+    for _ in range(WARMUP):
+        masks, logits = fwd(*args)
+    jax.block_until_ready(masks)
+
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        masks, logits = fwd(*args)
+    jax.block_until_ready(masks)
+    elapsed = time.perf_counter() - start
+
+    clips_per_sec = ITERS / elapsed
+    result = {
+        "metric": "ytvos_flagship_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 4),
+        "unit": "clips/s (5x384x640 frames, resnet50+FTF8+IQT)",
+        "vs_baseline": round(clips_per_sec / REFERENCE_GPU_CLIPS_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

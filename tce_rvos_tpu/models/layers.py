@@ -1,0 +1,130 @@
+"""Shared building blocks.
+
+``MultiheadAttention`` reproduces ``torch.nn.MultiheadAttention`` semantics
+(scaled dot-product, key_padding_mask with True=masked, dropout on attention
+probabilities) so reference checkpoints map 1:1 (the packed
+``in_proj_weight`` is split into q/k/v by the checkpoint converter).
+
+All sequence tensors here are **batch-first** ``[B, S, C]`` — the torch
+modules in the reference are seq-first; call sites handle the axis order
+explicitly (which is where the reference hides its FTF/IQT axis tricks,
+see transformer.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def get_activation(name: str) -> Callable:
+    if name == "relu":
+        return nn.relu
+    if name == "gelu":
+        return nn.gelu
+    if name == "glu":
+        return nn.glu
+    raise ValueError(f"activation should be relu/gelu/glu, not {name}")
+
+
+class MLP(nn.Module):
+    """ReLU MLP head (reference models/tce_rvos.py:602-614)."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
+            x = nn.Dense(out, name=f"layers_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        return x
+
+
+class FeatureResizer(nn.Module):
+    """Linear + LN(eps=1e-12) + dropout, 768 -> d_model
+    (reference models/tce_rvos.py:616-635)."""
+
+    output_dim: int
+    dropout: float = 0.1
+    do_ln: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.output_dim, name="fc")(x)
+        if self.do_ln:
+            x = nn.LayerNorm(epsilon=1e-12, name="layer_norm")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class MultiheadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-compatible attention, batch-first.
+
+    q/k/v: [B, Sq, C] / [B, Sk, C] / [B, Sk, C].
+    key_padding_mask: [B, Sk] True = ignore.
+    """
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        c = self.d_model
+        h = self.num_heads
+        hd = c // h
+        q = nn.Dense(c, name="q_proj")(query)
+        k = nn.Dense(c, name="k_proj")(key)
+        v = nn.Dense(c, name="v_proj")(value)
+
+        b, sq, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(b, sq, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, sk, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, sk, h, hd).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
+        if key_padding_mask is not None:
+            neg = jnp.finfo(logits.dtype).min
+            logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
+        probs = nn.softmax(logits, axis=-1)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, sq, c)
+        return nn.Dense(c, name="out_proj")(out)
+
+
+class FFN(nn.Module):
+    """post-norm transformer FFN with residual: x + drop(W2 drop(act(W1 x))),
+    then LayerNorm — the layout every reference block uses."""
+
+    d_ffn: int
+    d_model: int
+    dropout: float = 0.1
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = nn.Dense(self.d_ffn, name="linear1")(x)
+        y = get_activation(self.activation)(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(self.d_model, name="linear2")(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        x = x + y
+        return nn.LayerNorm(name="norm")(x)
+
+
+def with_pos(tensor: jnp.ndarray, pos: Optional[jnp.ndarray]) -> jnp.ndarray:
+    return tensor if pos is None else tensor + pos

@@ -1,0 +1,138 @@
+"""Training step: AdamW with the reference's name-keyed LR tiers, MultiStep
+schedule, global-norm clipping, and a single jitted update.
+
+Parity targets:
+  * 4 param groups by name-substring (reference main.py:82-111):
+    base lr / backbone lr / text-encoder lr / linear-proj (reference_points,
+    sampling_offsets) lr × mult;
+  * AdamW(weight_decay) + MultiStepLR(gamma=0.1 at lr_drop epochs)
+    (main.py:133-135);
+  * grad clip by global norm (engine.py:77);
+  * loss = sum of weighted criterion losses (engine.py:57).
+
+TPU-native: the whole step is one jit; with the batch sharded over the
+'data' mesh axis the gradient all-reduce is XLA's psum over ICI — there is
+no DDP wrapper.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct, traverse_util
+
+from tce_rvos_tpu.config import TrainConfig
+from tce_rvos_tpu.models.criterion import CriterionConfig, criterion
+
+
+def param_group(path: str, cfg: TrainConfig) -> str:
+    """Classify a flattened param path into its LR tier, mirroring the
+    name-substring matching of reference main.py:91-111. Our path spellings:
+    'backbone/...', 'text_encoder/...', '.../reference_points/...',
+    '.../sampling_offsets/...'."""
+    if "text_encoder" in path:
+        return "text_encoder"
+    if path.startswith("backbone/") or "/backbone/" in path:
+        return "backbone"
+    if any(n in path for n in ("reference_points", "sampling_offsets")):
+        return "linear_proj"
+    return "base"
+
+
+def multistep_schedule(base_lr: float, cfg: TrainConfig, steps_per_epoch: int):
+    boundaries = {e * steps_per_epoch: 0.1 for e in cfg.lr_drop}
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def make_optimizer(params, cfg: TrainConfig, steps_per_epoch: int = 1):
+    flat = traverse_util.flatten_dict(params, sep="/")
+    labels_flat = {k: param_group(k, cfg) for k in flat}
+    labels = traverse_util.unflatten_dict(labels_flat, sep="/")
+
+    lrs = {
+        "base": cfg.lr,
+        "backbone": cfg.lr_backbone,
+        "text_encoder": cfg.lr_text_encoder,
+        "linear_proj": cfg.lr * cfg.lr_linear_proj_mult,
+    }
+
+    def tier(lr):
+        return optax.adamw(
+            multistep_schedule(lr, cfg, steps_per_epoch),
+            weight_decay=cfg.weight_decay,
+        )
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.clip_max_norm),
+        optax.multi_transform({k: tier(v) for k, v in lrs.items()}, labels),
+    )
+    return tx
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    frozen: Any            # FrozenBatchNorm buffers etc. (non-trainable)
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(variables, cfg: TrainConfig, steps_per_epoch: int = 1):
+    params = variables["params"]
+    frozen = {k: v for k, v in variables.items() if k != "params"}
+    tx = make_optimizer(params, cfg, steps_per_epoch)
+    return TrainState(
+        params=params,
+        frozen=frozen,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    ), tx
+
+
+def make_train_step(
+    model_apply: Callable,
+    tx,
+    crit_cfg: CriterionConfig,
+) -> Callable:
+    """Returns jittable step(state, batch, dropout_rng) -> (state, metrics).
+    ``batch``: dict with model inputs + 'targets' dict for the criterion."""
+
+    def loss_fn(params, frozen, batch, rng):
+        variables = {"params": params, **frozen}
+        outputs = model_apply(
+            variables,
+            video=batch["video"],
+            video_mask=batch["video_mask"],
+            text_ids=batch["text_ids"],
+            text_attn_mask=batch["text_attn_mask"],
+            sizes=batch["sizes"],
+            valid_indices=batch.get("valid_indices"),
+            deterministic=False,
+            rngs={"dropout": rng},
+        )
+        losses = criterion(crit_cfg, outputs, batch["targets"])
+        total = sum(losses.values())
+        return total, losses
+
+    def step(state: TrainState, batch, rng):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.frozen, batch, rng
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            params=new_params,
+            frozen=state.frozen,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step

@@ -1,0 +1,94 @@
+"""End-to-end forward smoke tests for the assembled model in all TCE
+configurations (base, FTF, IQT, box refine, flagship)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tce_rvos_tpu.config import ModelConfig, flagship_config
+from tce_rvos_tpu.models.build import build_model, example_inputs
+
+SMALL = dict(
+    enc_layers=2,
+    dec_layers=2,
+    dim_feedforward=64,
+    binary=True,
+    text_encoder_layers=2,
+    text_encoder_hidden=64,
+    text_encoder_heads=4,
+    text_encoder_intermediate=128,
+)
+
+
+def _tiny_cfg(**kw):
+    base = dict(SMALL)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _run(cfg, b=1, t=2, hw=(64, 96)):
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=b, t=t, hw=hw)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+    out = jax.jit(lambda v, **i: model.apply(v, **i))(variables, **inputs)
+    return out, (b, t, hw)
+
+
+@pytest.mark.parametrize(
+    "cfg_kw",
+    [
+        dict(),
+        dict(with_box_refine=True),
+        dict(f_token=4),
+        dict(qtrans=True),
+        dict(with_box_refine=True, f_token=4, qtrans=True),  # flagship shape
+        dict(vlblock=False),
+        dict(vis_loss=True, contrastive=True),
+        dict(f_token=-1),
+    ],
+)
+def test_forward_shapes(cfg_kw):
+    cfg = _tiny_cfg(**cfg_kw)
+    out, (b, t, (h, w)) = _run(cfg)
+    q, k = cfg.num_queries, cfg.num_classes
+    assert out["pred_logits"].shape == (b, t, q, k)
+    assert out["pred_boxes"].shape == (b, t, q, 4)
+    assert out["pred_masks"].shape == (b, t, q, h // 4, w // 4)
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+    assert np.isfinite(np.asarray(out["pred_masks"])).all()
+    boxes = np.asarray(out["pred_boxes"])
+    assert (boxes >= 0).all() and (boxes <= 1).all()
+    if cfg.aux_loss:
+        assert len(out["aux_outputs"]) == cfg.dec_layers - 1
+    if cfg.vis_loss:
+        assert out["pred_visible"].shape == (b, t, q, 1)
+    if cfg.contrastive:
+        assert out["contrastive"].shape == (b, t)
+
+
+def test_valid_indices_selects_single_frame():
+    cfg = _tiny_cfg(dataset_file="a2d")
+    from tce_rvos_tpu.models.build import example_inputs
+
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=2, t=3, hw=(64, 64))
+    inputs["valid_indices"] = jnp.asarray([1, 2], jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+    out = jax.jit(lambda v, **i: model.apply(v, **i))(variables, **inputs)
+    assert out["pred_logits"].shape[1] == 1  # t -> 1
+
+
+def test_forward_jits_and_is_deterministic():
+    cfg = _tiny_cfg(f_token=2, qtrans=True, with_box_refine=True)
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=1, t=2, hw=(64, 64))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+    fwd = jax.jit(lambda v, **i: model.apply(v, **i))
+    o1 = fwd(variables, **inputs)
+    o2 = fwd(variables, **inputs)
+    np.testing.assert_array_equal(
+        np.asarray(o1["pred_masks"]), np.asarray(o2["pred_masks"])
+    )
