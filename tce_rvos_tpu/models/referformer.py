@@ -133,10 +133,10 @@ class ReferFormer(nn.Module):
         # ---- backbone (res2..res5) ----
         backbone, strides, channels, is_temporal = build_backbone_module(cfg)
         if is_temporal:
-            feats = backbone(video)  # temporal backbones take [b,t,H,W,3]
+            feats = backbone(video, deterministic=deterministic)
         else:
             frames = video.reshape((b * t_in,) + video.shape[2:])
-            feats = backbone(frames)
+            feats = backbone(frames, deterministic=deterministic)
         frame_mask = video_mask.reshape((b * t_in,) + video_mask.shape[2:])
         feat_masks = [
             resize_mask_nearest(frame_mask, (f.shape[1], f.shape[2])) for f in feats

