@@ -93,6 +93,7 @@ class ModelConfig:
 
     # TPU-specific
     compute_dtype: str = "float32"        # "bfloat16" for the fast path
+    msda_impl: str = "xla"                # "xla" gather | "pallas" MXU kernel
 
     @property
     def num_classes(self) -> int:

@@ -1,0 +1,75 @@
+"""Plain COCO detection dataset (parity with reference datasets/coco.py:
+CocoDetection + polygon->mask conversion), used by the COCO-pretrain eval
+path. Self-contained JSON reader — no pycocotools."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tce_rvos_tpu.data.refexp import poly_to_mask
+
+
+class CocoDetection:
+    def __init__(self, img_folder: str, ann_file: str, transforms=None,
+                 return_masks: bool = True):
+        self.img_folder = img_folder
+        self._transforms = transforms
+        self.return_masks = return_masks
+        with open(ann_file) as fh:
+            coco = json.load(fh)
+        self.images = {img["id"]: img for img in coco["images"]}
+        self.anns_by_image: Dict = {}
+        for ann in coco["annotations"]:
+            if ann.get("iscrowd", 0):
+                continue
+            self.anns_by_image.setdefault(ann["image_id"], []).append(ann)
+        self.ids = sorted(self.images.keys())
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, idx: int):
+        from PIL import Image
+
+        img_id = self.ids[idx]
+        info = self.images[img_id]
+        anns = self.anns_by_image.get(img_id, [])
+        img = np.asarray(
+            Image.open(os.path.join(self.img_folder, info["file_name"])).convert("RGB"),
+            np.float32,
+        ) / 255.0
+        h, w = img.shape[:2]
+
+        boxes, labels, masks, valid = [], [], [], []
+        for ann in anns:
+            x, y, bw, bh = ann["bbox"]
+            box = [x, y, x + bw, y + bh]
+            box = [
+                min(max(box[0], 0), w), min(max(box[1], 0), h),
+                min(max(box[2], 0), w), min(max(box[3], 0), h),
+            ]
+            if box[2] <= box[0] or box[3] <= box[1]:
+                continue
+            boxes.append(box)
+            labels.append(ann["category_id"])
+            valid.append(1)
+            if self.return_masks and "segmentation" in ann:
+                masks.append(poly_to_mask(ann["segmentation"], h, w))
+        target = {
+            "image_id": img_id,
+            "labels": np.asarray(labels, np.int64),
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "valid": np.asarray(valid, np.int64),
+            "orig_size": np.asarray([h, w], np.int64),
+            "size": np.asarray([h, w], np.int64),
+        }
+        if masks:
+            target["masks"] = np.stack(masks)
+        frames = [img]  # 1-frame clip
+        if self._transforms is not None:
+            frames, target = self._transforms(frames, target)
+        return np.stack(frames), target

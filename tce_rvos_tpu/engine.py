@@ -53,6 +53,82 @@ def train_one_epoch(
     return state, {k: m.global_avg for k, m in logger.meters.items()}
 
 
+def evaluate_yvos(
+    fwd: Callable,
+    variables,
+    loader,
+    max_batches: Optional[int] = None,
+) -> Dict[str, float]:
+    """Train-set mask-quality probe (parity with reference
+    engine.py:164-286 evaluate_yvos): run the model on training clips,
+    select the best query by mean class score, report dice/focal of its
+    masks against GT. A sanity metric, not a benchmark."""
+    from tce_rvos_tpu.models.segmentation import dice_loss, sigmoid_focal_loss
+
+    logger = MetricLogger()
+    dices, focals = [], []
+    for bi, batch in enumerate(logger.log_every(loader, 10, "YVOS probe:")):
+        if max_batches is not None and bi >= max_batches:
+            break
+        outputs = fwd(
+            variables,
+            video=jnp.asarray(batch["video"]),
+            video_mask=jnp.asarray(batch["video_mask"]),
+            text_ids=jnp.asarray(batch["text_ids"]),
+            text_attn_mask=jnp.asarray(batch["text_attn_mask"]),
+            sizes=jnp.asarray(batch["sizes"]),
+        )
+        logits = np.asarray(outputs["pred_logits"])  # [b, t, q, K]
+        masks = np.asarray(outputs["pred_masks"])    # [b, t, q, h, w]
+        scores = 1 / (1 + np.exp(-logits))
+        best_q = scores.mean(axis=1).max(axis=-1).argmax(axis=-1)  # [b]
+        b = masks.shape[0]
+        sel = masks[np.arange(b), :, best_q]  # [b, t, h, w]
+        gt = batch["targets"]["masks"][:, :, 2::4, 2::4]
+        sel_f = jnp.asarray(sel.reshape(b, -1))
+        gt_f = jnp.asarray(gt.reshape(b, -1))
+        dices.append(float(dice_loss(sel_f, gt_f, b)))
+        focals.append(float(sigmoid_focal_loss(sel_f, gt_f, b)))
+    out = {"dice_loss": float(np.mean(dices)), "focal_loss": float(np.mean(focals))}
+    print(out)
+    return out
+
+
+def evaluate_coco_pretrain(
+    fwd: Callable,
+    variables,
+    loader,
+    gt_boxes_by_image: Dict,
+) -> Dict[str, float]:
+    """COCO-pretrain eval (parity with reference engine.py:98-161): run the
+    bbox postprocessor and score P@{1,5,10} via RefExpEvaluator."""
+    from tce_rvos_tpu.eval.refexp_eval import RefExpEvaluator
+    from tce_rvos_tpu.models.postprocessors import coco_postprocess_bbox
+
+    evaluator = RefExpEvaluator(gt_boxes_by_image)
+    logger = MetricLogger()
+    for batch in logger.log_every(loader, 10, "Test:"):
+        outputs = fwd(
+            variables,
+            video=jnp.asarray(batch["video"]),
+            video_mask=jnp.asarray(batch["video_mask"]),
+            text_ids=jnp.asarray(batch["text_ids"]),
+            text_attn_mask=jnp.asarray(batch["text_attn_mask"]),
+            sizes=jnp.asarray(batch["sizes"]),
+        )
+        results = coco_postprocess_bbox(outputs, np.asarray(batch["orig_sizes"]))
+        evaluator.update(
+            {
+                batch["image_ids"][i]: {
+                    "scores": results[i]["scores"],
+                    "boxes": results[i]["boxes"],
+                }
+                for i in range(len(results))
+            }
+        )
+    return evaluator.summarize()
+
+
 def evaluate_a2d(
     fwd: Callable,
     variables,

@@ -34,7 +34,17 @@ def _disk(radius: int) -> np.ndarray:
 
 def seg2bmap(seg: np.ndarray) -> np.ndarray:
     """One-pixel-wide boundary map (Martin-style, same-size fast path of
-    davis2017 metrics._seg2bmap)."""
+    davis2017 metrics._seg2bmap). Uses the native C extension when built."""
+    try:
+        from tce_rvos_tpu.native import HAS_NATIVE, rle_native
+    except ImportError:
+        HAS_NATIVE = False
+    if HAS_NATIVE:
+        h, w = seg.shape
+        buf = rle_native.seg2bmap(
+            np.ascontiguousarray(seg.astype(np.uint8)).tobytes(), h, w
+        )
+        return np.frombuffer(buf, np.uint8).reshape(h, w).astype(bool)
     seg = seg.astype(bool)
     e = np.zeros_like(seg)
     s = np.zeros_like(seg)

@@ -217,6 +217,7 @@ class ReferFormer(nn.Module):
             q_trans=cfg.qtrans,
             f_token=cfg.f_token,
             with_box_refine=cfg.with_box_refine,
+            msda_impl=cfg.msda_impl,
             name="transformer",
         )(
             srcs, text_embed, masks_l, poses[len(feats) - 3 :][: cfg.num_feature_levels],

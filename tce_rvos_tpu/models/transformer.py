@@ -57,12 +57,14 @@ def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
 class MSDeformAttnLayer(nn.Module):
     """Multi-scale deformable attention module (parameter layout and
     semantics of reference models/ops/modules/ms_deform_attn.py:31-117;
-    the core op replaces the CUDA extension)."""
+    the core op replaces the CUDA extension). ``impl`` selects the XLA
+    gather path or the Pallas MXU kernel (ops/pallas_msda.py)."""
 
     d_model: int = 256
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -114,7 +116,12 @@ class MSDeformAttnLayer(nn.Module):
         else:
             raise ValueError("reference_points last dim must be 2 or 4")
 
-        out = ms_deform_attn(value, spatial_shapes, loc, attn)
+        if self.impl == "pallas":
+            from tce_rvos_tpu.ops.pallas_msda import ms_deform_attn_pallas
+
+            out = ms_deform_attn_pallas(value, spatial_shapes, loc, attn)
+        else:
+            out = ms_deform_attn(value, spatial_shapes, loc, attn)
         out = nn.Dense(self.d_model, kernel_init=xavier, name="output_proj")(out)
         return out, loc, attn
 
@@ -157,6 +164,7 @@ class FrameTokenLayer(nn.Module):
     n_heads: int = 8
     n_levels: int = 4
     n_points: int = 4
+    msda_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -182,7 +190,7 @@ class FrameTokenLayer(nn.Module):
         ref = ref[:, :, None] * valid_ratios[:, None]  # [N, To, L, 2]
         token2, _, _ = MSDeformAttnLayer(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            name="token_frame_atten",
+            impl=self.msda_impl, name="token_frame_atten",
         )(with_pos(token, token_pos), ref, src, spatial_shapes, padding_mask)
         token = nn.LayerNorm(name="norm1")(token + drop(token2))
 
@@ -262,6 +270,7 @@ class EncoderLayer(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     f_token: int = 0
+    msda_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -286,7 +295,8 @@ class EncoderLayer(nn.Module):
         if self.f_token > 0:
             src, memory_bus = FrameTokenLayer(
                 self.d_model, self.d_ffn, self.dropout, self.activation,
-                self.n_heads, self.n_levels, self.n_points, name="ftoken_layers",
+                self.n_heads, self.n_levels, self.n_points,
+                msda_impl=self.msda_impl, name="ftoken_layers",
             )(
                 src, pos, memory_bus, memory_pos, spatial_shapes, padding_mask,
                 valid_ratios, num_frames, deterministic,
@@ -294,7 +304,7 @@ class EncoderLayer(nn.Module):
 
         src2, _, _ = MSDeformAttnLayer(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            name="self_attn",
+            impl=self.msda_impl, name="self_attn",
         )(with_pos(src, pos), reference_points, src, spatial_shapes, padding_mask)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(src)
@@ -317,6 +327,7 @@ class DecoderLayer(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     is_query_atten: bool = False
+    msda_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -348,7 +359,7 @@ class DecoderLayer(nn.Module):
 
         tgt2, loc, attn_w = MSDeformAttnLayer(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            name="cross_attn",
+            impl=self.msda_impl, name="cross_attn",
         )(with_pos(tgt, query_pos), reference_points, src, spatial_shapes, padding_mask)
         tgt = nn.LayerNorm(name="norm1")(tgt + drop(tgt2, 1))
 
@@ -404,6 +415,7 @@ class DeformableTransformer(nn.Module):
     q_trans: bool = False
     f_token: int = 0
     with_box_refine: bool = False
+    msda_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -457,7 +469,8 @@ class DeformableTransformer(nn.Module):
             output, memory_bus = EncoderLayer(
                 c, self.dim_feedforward, self.dropout, self.activation,
                 self.num_feature_levels, self.nhead, self.enc_n_points,
-                self.f_token, name=f"encoder_layers_{i}",
+                self.f_token, msda_impl=self.msda_impl,
+                name=f"encoder_layers_{i}",
             )(
                 output, pos_flat, enc_ref, spatial_shapes, valid_ratios,
                 mask_flat, memory_bus, memory_pos, t, deterministic,
@@ -488,7 +501,8 @@ class DeformableTransformer(nn.Module):
             out, loc, attn_w = DecoderLayer(
                 c, self.dim_feedforward, self.dropout, self.activation,
                 self.num_feature_levels, self.nhead, self.dec_n_points,
-                self.q_trans, name=f"decoder_layers_{i}",
+                self.q_trans, msda_impl=self.msda_impl,
+                name=f"decoder_layers_{i}",
             )(
                 out, query_pos, ref_input, memory, spatial_shapes, mask_flat,
                 deterministic,

@@ -462,6 +462,39 @@ def convert_state_dict(
     return traverse_util.unflatten_dict(new_flat, sep="/"), missing, unexpected
 
 
+def export_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of convert_state_dict: flax variables -> a torch-layout
+    state_dict (for cross-validating against the reference stack). MHA q/k/v
+    leaves are re-packed into in_proj_weight/bias; layout transforms are
+    inverted (kernel [in,out] -> weight [out,in], HWIO -> OIHW)."""
+    flat = traverse_util.flatten_dict(variables, sep="/")
+    out: Dict[str, np.ndarray] = {}
+    packing: Dict[str, Dict[int, np.ndarray]] = {}
+    for path, leaf in flat.items():
+        res = flax_to_torch_key(path)
+        if res is None:
+            continue
+        tkey, tr = res
+        arr = np.asarray(jax.device_get(leaf))
+        name = tr.__name__
+        if name == "_t":
+            out[tkey] = np.ascontiguousarray(arr.T)
+        elif name == "_conv":
+            out[tkey] = np.ascontiguousarray(np.transpose(arr, (3, 2, 0, 1)))
+        elif name == "_id":
+            out[tkey] = arr
+        else:  # packed MHA slice ('tr' closures from _mha)
+            which = {"q": 0, "k": 1, "v": 2}[
+                re.search(r"/(q|k|v)_proj/", path).group(1)
+            ]
+            packing.setdefault(tkey, {})[which] = (
+                np.ascontiguousarray(arr.T) if "weight" in tkey else arr
+            )
+    for tkey, parts in packing.items():
+        out[tkey] = np.concatenate([parts[i] for i in range(3)], axis=0)
+    return out
+
+
 def drop_class_heads(state_dict: Dict[str, np.ndarray], num_layers: int = 4):
     """pre_trained_model_to_finetune semantics
     (reference tools/load_pretrained_weights.py:3-11)."""

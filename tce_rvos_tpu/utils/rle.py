@@ -13,10 +13,18 @@ from typing import Dict, List
 
 import numpy as np
 
+try:  # native C fast path (tce_rvos_tpu/native/rle_ext.c)
+    from tce_rvos_tpu.native import HAS_NATIVE, rle_native
+except ImportError:  # pragma: no cover
+    HAS_NATIVE, rle_native = False, None
+
 
 def encode_counts(mask: np.ndarray) -> List[int]:
     """Binary [H, W] mask -> uncompressed counts (column-major, starting with
     the zero run)."""
+    if HAS_NATIVE:
+        flat = np.ascontiguousarray(mask.astype(np.uint8).T)  # column-major
+        return rle_native.rle_encode_bytes(flat.tobytes())
     flat = np.asfortranarray(mask.astype(np.uint8)).flatten(order="F")
     if flat.size == 0:
         return [0]
@@ -28,6 +36,9 @@ def encode_counts(mask: np.ndarray) -> List[int]:
 
 
 def decode_counts(counts: List[int], h: int, w: int) -> np.ndarray:
+    if HAS_NATIVE:
+        buf = rle_native.rle_decode_counts(list(counts), h, w)
+        return np.frombuffer(buf, np.uint8).reshape((h, w), order="F")
     flat = np.zeros(h * w, dtype=np.uint8)
     pos = 0
     val = 0
@@ -40,6 +51,8 @@ def decode_counts(counts: List[int], h: int, w: int) -> np.ndarray:
 
 
 def _compress_counts(cnts: List[int]) -> str:
+    if HAS_NATIVE:
+        return rle_native.rle_counts_to_string(list(cnts))
     s = []
     for i, x in enumerate(cnts):
         if i > 2:
@@ -56,6 +69,8 @@ def _compress_counts(cnts: List[int]) -> str:
 
 
 def _decompress_counts(s: str) -> List[int]:
+    if HAS_NATIVE:
+        return rle_native.rle_string_to_counts(s)
     cnts: List[int] = []
     i = 0
     n = len(s)

@@ -167,3 +167,20 @@ def test_drop_class_heads():
     sd = {"class_embed.0.weight": np.zeros(2), "other": np.ones(1)}
     out = drop_class_heads(sd)
     assert "class_embed.0.weight" not in out and "other" in out
+
+
+def test_export_roundtrip():
+    """flax -> torch state_dict -> flax must be the identity."""
+    cfg = ModelConfig(**TINY, with_box_refine=True, f_token=2, qtrans=True)
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=1, t=2, hw=(32, 32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), **inputs)
+    from tce_rvos_tpu.utils.checkpoint import export_state_dict
+
+    sd = export_state_dict(variables)
+    back, missing, unexpected = convert_state_dict(sd, variables, verbose=False)
+    assert missing == [] and unexpected == []
+    flat_a = traverse_util.flatten_dict(variables, sep="/")
+    flat_b = traverse_util.flatten_dict(back, sep="/")
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]), np.asarray(flat_b[k]))
