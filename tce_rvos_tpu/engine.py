@@ -40,7 +40,7 @@ def train_one_epoch(
         if max_steps is not None and step >= max_steps:
             break
         rng, step_rng = jax.random.split(rng)
-        batch_dev = jax.tree_util.tree_map(jnp.asarray, batch)
+        batch_dev = {k: v for k, v in batch.items() if k != "image_ids"}
         state, metrics = step_fn(state, batch_dev, step_rng)
         host_metrics = {k: float(v) for k, v in metrics.items()}
         loss = host_metrics.pop("loss")

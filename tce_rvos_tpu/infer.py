@@ -25,6 +25,7 @@ TPU-native replacements for the reference's engineering:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -124,25 +125,29 @@ class InferenceEngine:
         return video, mask, (oh, ow)
 
     def run_window(self, video, mask, text_ids, text_attn, model_size):
+        # numpy arrays go straight into the jitted fn (no eager device ops —
+        # eager dispatch is pathological on remote-compile backends)
         sizes = np.asarray([model_size], np.int32)
-        return self._fwd(
-            self.variables,
-            jnp.asarray(video),
-            jnp.asarray(mask),
-            jnp.asarray(text_ids),
-            jnp.asarray(text_attn),
-            jnp.asarray(sizes),
-        )
+        return self._fwd(self.variables, video, mask, text_ids, text_attn, sizes)
 
     def run_video(
         self, frames: List[np.ndarray], caption: str,
         f_extra: int = 0,
+        whole_video: bool = False,
     ) -> Dict[str, np.ndarray]:
         """Window the video into fixed `self.window`-frame clips (+f_extra
         context on both sides whose outputs are discarded), run each, concat.
-        Last window pad-repeats the final frame; padded outputs trimmed."""
+        Last window pad-repeats the final frame; padded outputs trimmed.
+
+        ``whole_video=True`` reproduces the reference's default ytvos
+        protocol (inference_ytvos.py:280-295 — the entire video in one
+        forward, so IQT/FTF attend across all frames): the window grows to
+        the whole video, T padded to a bucket of 8 by repeating the last
+        frame (outputs trimmed)."""
         t_total = len(frames)
         win = self.window
+        if whole_video:
+            win = max(-(-t_total // 8) * 8, 8)
         text_ids, text_attn = tokenize([caption], max_len=24)
 
         logits_all, masks_all, boxes_all = [], [], []
@@ -178,20 +183,28 @@ def select_query(pred_logits: np.ndarray) -> int:
     return int(per_query.argmax())
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_upsample(h4: int, w4: int, oh: int, ow: int):
+    from tce_rvos_tpu.utils.interpolate import resize_bilinear
+
+    @jax.jit
+    def f(x):
+        up = resize_bilinear(x[:, :h4, :w4, None], (oh, ow), align_corners=False)
+        return jax.nn.sigmoid(up[..., 0])
+
+    return f
+
+
 def masks_to_original(
     mask_logits: np.ndarray, model_size: Tuple[int, int], orig_size: Tuple[int, int]
 ) -> np.ndarray:
     """[T, h, w] stride-4 logits -> sigmoid scores at the original
     resolution (bilinear, align_corners=False), matching
-    inference_ytvos.py:311-312."""
-    from tce_rvos_tpu.utils.interpolate import resize_bilinear
-
+    inference_ytvos.py:311-312. Jitted per shape (no eager dispatch)."""
     mh, mw = model_size
-    # crop the padded region at stride 4 then upsample straight to original
     h4, w4 = -(-mh // 4), -(-mw // 4)
-    x = jnp.asarray(mask_logits[:, :h4, :w4, None])
-    up = resize_bilinear(x, tuple(int(v) for v in orig_size), align_corners=False)
-    return np.asarray(jax.nn.sigmoid(up[..., 0]))
+    oh, ow = int(orig_size[0]), int(orig_size[1])
+    return np.asarray(_jitted_upsample(h4, w4, oh, ow)(mask_logits))
 
 
 # ---------------------------------------------------------------------------
@@ -221,8 +234,11 @@ def run_ytvos(
     threshold: float = 0.5,
     f_extra: int = 0,
     videos: Optional[Sequence[str]] = None,
+    whole_video: bool = True,
 ):
-    """Write per-frame binary PNGs to <out>/<split>/<video>/<exp_id>/."""
+    """Write per-frame binary PNGs to <out>/<split>/<video>/<exp_id>/.
+    ``whole_video`` defaults True (the reference's default protocol); set
+    False for the keep_fps windowed protocol."""
     from PIL import Image
 
     video_list, data = ytvos_video_list(ytvos_path, split)
@@ -241,7 +257,7 @@ def run_ytvos(
         orig_h, orig_w = frames[0].shape[:2]
         for exp_id, exp_dict in data[video]["expressions"].items():
             out = engine.run_video(frames, " ".join(exp_dict["exp"].lower().split()),
-                                   f_extra=f_extra)
+                                   f_extra=f_extra, whole_video=whole_video)
             q = select_query(out["pred_logits"])
             scores = masks_to_original(
                 out["pred_masks"][:, q], out["model_size"], (orig_h, orig_w)

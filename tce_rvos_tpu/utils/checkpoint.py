@@ -45,6 +45,19 @@ def _id(x):
     return np.asarray(x)
 
 
+def _conv3d(x):  # OIDHW -> DHWIO
+    return np.ascontiguousarray(np.transpose(x, (2, 3, 4, 1, 0)))
+
+
+def _conv3d_tsum(x):
+    """Conv3d weight with temporal-sum surgery: loading a (2,4,4)-patch
+    Kinetics checkpoint into our (1,4,4) patch embed sums the temporal dim
+    (reference video_swin_transformer.py:656-659)."""
+    if x.shape[2] != 1:
+        x = x.sum(axis=2, keepdims=True)
+    return _conv3d(x)
+
+
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
     import torch
 
@@ -112,6 +125,15 @@ def flax_to_torch_key(path: str) -> Optional[Tuple[str, Transform]]:
             return f"backbone.0.body.bn1.{mm.group(1)}", _id
         return None
 
+    # x3d BatchNorm running stats
+    m = re.match(r"batch_stats/backbone/(.+)$", path)
+    if m:
+        res = _x3d_bn_base(m.group(1))
+        if res:
+            base, leaf = res
+            return f"backbone.0.body.{base}.{leaf}", _id
+        return None
+
     if not path.startswith("params/"):
         return None
     p = path[len("params/") :]
@@ -125,6 +147,68 @@ def flax_to_torch_key(path: str) -> Optional[Tuple[str, Transform]]:
         l, b, conv = m.groups()
         tconv = "downsample.0" if conv == "downsample_conv" else conv
         return f"backbone.0.body.layer{l}.{b}.{tconv}.weight", _conv
+
+    # ---------------- swin / video-swin backbone ----------------
+    m = re.match(r"backbone/(.+)$", p)
+    if m:
+        r = m.group(1)
+        bb = "backbone.0.body"
+        if r == "patch_embed_proj/kernel":
+            # 2D swin -> Conv2d; video swin -> Conv3d with temporal surgery;
+            # disambiguated by rank at transform time
+            def tr(x):
+                return _conv3d_tsum(x) if x.ndim == 5 else _conv(x)
+
+            return f"{bb}.patch_embed.proj.weight", tr
+        if r == "patch_embed_proj/bias":
+            return f"{bb}.patch_embed.proj.bias", _id
+        m2 = re.match(r"patch_embed_norm/(scale|bias)$", r)
+        if m2:
+            leaf, t = _norm_leaf(m2.group(1))
+            return f"{bb}.patch_embed.norm.{leaf}", t
+        m2 = re.match(r"out_norm_(\d)/(scale|bias)$", r)
+        if m2:
+            i, k = m2.groups()
+            leaf, t = _norm_leaf(k)
+            return f"{bb}.norm{i}.{leaf}", t
+        m2 = re.match(r"layers_(\d)_blocks_(\d+)/(.+)$", r)
+        if m2:
+            i, j, rest = m2.groups()
+            base = f"{bb}.layers.{i}.blocks.{j}"
+            table = {
+                "attn/relative_position_bias_table": (
+                    f"{base}.attn.relative_position_bias_table", _id),
+                "attn/qkv/kernel": (f"{base}.attn.qkv.weight", _t),
+                "attn/qkv/bias": (f"{base}.attn.qkv.bias", _id),
+                "attn/proj/kernel": (f"{base}.attn.proj.weight", _t),
+                "attn/proj/bias": (f"{base}.attn.proj.bias", _id),
+                "mlp_fc1/kernel": (f"{base}.mlp.fc1.weight", _t),
+                "mlp_fc1/bias": (f"{base}.mlp.fc1.bias", _id),
+                "mlp_fc2/kernel": (f"{base}.mlp.fc2.weight", _t),
+                "mlp_fc2/bias": (f"{base}.mlp.fc2.bias", _id),
+            }
+            if rest in table:
+                return table[rest]
+            m3 = re.match(r"norm(\d)/(scale|bias)$", rest)
+            if m3:
+                n_, k = m3.groups()
+                leaf, t = _norm_leaf(k)
+                return f"{base}.norm{n_}.{leaf}", t
+            return None
+        m2 = re.match(r"layers_(\d)_downsample/(norm|reduction)/(scale|bias|kernel)$", r)
+        if m2:
+            i, mod, k = m2.groups()
+            base = f"{bb}.layers.{i}.downsample"
+            if mod == "reduction":
+                return f"{base}.reduction.weight", _t
+            leaf, t = _norm_leaf(k)
+            return f"{base}.norm.{leaf}", t
+
+        # ---------------- x3d backbone ----------------
+        res = _x3d_leaf(bb, r)
+        if res:
+            return res
+        return None
 
     # ---------------- text encoder (HF roberta layout) ----------------
     m = re.match(r"text_encoder/(.+)$", p)
@@ -313,6 +397,70 @@ def flax_to_torch_key(path: str) -> Optional[Tuple[str, Transform]]:
                 return f"{base}.norm{n}.{leaf}", tr
         return None
 
+    return None
+
+
+def _x3d_torch_base(r: str) -> Optional[Tuple[str, str]]:
+    """Map an x3d flax sub-path to (torch module base, remaining leaf)."""
+    m = re.match(r"stem_conv_xy/kernel$", r)
+    if m:  # Conv2plus1d stores the spatial conv under the 'conv_t' name
+        return "blocks.0.conv.conv_t", "weight"
+    m = re.match(r"stem_conv_t/kernel$", r)
+    if m:
+        return "blocks.0.conv.conv_xy", "weight"
+    m = re.match(r"stage(\d)_block(\d+)/(.+)$", r)
+    if m:
+        s, i, rest = m.groups()
+        base = f"blocks.{s}.res_blocks.{i}"
+        table = {
+            "branch1_conv/kernel": (f"{base}.branch1_conv", "weight"),
+            "conv_a/kernel": (f"{base}.branch2.conv_a", "weight"),
+            "conv_b/kernel": (f"{base}.branch2.conv_b", "weight"),
+            "conv_c/kernel": (f"{base}.branch2.conv_c", "weight"),
+            "se/fc1/kernel": (f"{base}.branch2.norm_b.1.block.0", "weight"),
+            "se/fc1/bias": (f"{base}.branch2.norm_b.1.block.0", "bias"),
+            "se/fc2/kernel": (f"{base}.branch2.norm_b.1.block.2", "weight"),
+            "se/fc2/bias": (f"{base}.branch2.norm_b.1.block.2", "bias"),
+        }
+        if rest in table:
+            return table[rest]
+    return None
+
+
+_X3D_BN = {
+    "scale": "weight", "bias": "bias", "mean": "running_mean", "var": "running_var",
+}
+
+
+def _x3d_bn_base(r: str) -> Optional[Tuple[str, str]]:
+    """x3d BatchNorm path -> torch bn module base + leaf kind."""
+    m = re.match(r"stem_norm/bn/(\w+)$", r)
+    if m:
+        return "blocks.0.norm", _X3D_BN[m.group(1)]
+    m = re.match(r"stage(\d)_block(\d+)/(norm_[abc]|branch1_norm)/bn/(\w+)$", r)
+    if m:
+        s, i, norm, leaf = m.groups()
+        base = f"blocks.{s}.res_blocks.{i}"
+        tmod = {
+            "norm_a": f"{base}.branch2.norm_a",
+            "norm_b": f"{base}.branch2.norm_b.0",
+            "norm_c": f"{base}.branch2.norm_c",
+            "branch1_norm": f"{base}.branch1_norm",
+        }[norm]
+        return tmod, _X3D_BN[leaf]
+    return None
+
+
+def _x3d_leaf(bb: str, r: str) -> Optional[Tuple[str, Transform]]:
+    res = _x3d_torch_base(r)
+    if res:
+        base, leaf = res
+        tr = _conv3d if r.endswith("/kernel") else _id
+        return f"{bb}.{base}.{leaf}", tr
+    res = _x3d_bn_base(r)
+    if res:
+        base, leaf = res
+        return f"{bb}.{base}.{leaf}", _id
     return None
 
 

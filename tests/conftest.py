@@ -14,3 +14,6 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# the backend defaults matmuls to bf16-like precision (TPU semantics);
+# parity tests against torch need full f32 accumulation
+jax.config.update("jax_default_matmul_precision", "highest")

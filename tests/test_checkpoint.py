@@ -83,6 +83,7 @@ def test_roberta_matches_hf_torch():
         num_attention_heads=4, intermediate_size=64, max_position_embeddings=40,
         type_vocab_size=1, hidden_dropout_prob=0.0,
         attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-5,  # the real roberta-base config value
     )
     torch.manual_seed(1)
     hf = HFRoberta(hf_cfg).eval()
@@ -184,3 +185,33 @@ def test_export_roundtrip():
     flat_b = traverse_util.flatten_dict(back, sep="/")
     for k in flat_a:
         np.testing.assert_array_equal(np.asarray(flat_a[k]), np.asarray(flat_b[k]))
+
+
+@pytest.mark.parametrize("family", ["swin", "x3d", "video_swin"])
+def test_backbone_param_mapping_coverage(family):
+    """Every backbone param leaf maps to a torch key (swin/video-swin/x3d
+    families; resnet covered by the full-model test)."""
+    if family == "swin":
+        from tce_rvos_tpu.models.swin import SwinBackbone, swin_spec
+
+        mod = SwinBackbone(spec=swin_spec("swin_t_p4w7"))
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    elif family == "video_swin":
+        from tce_rvos_tpu.models.video_swin import VideoSwinBackbone, video_swin_spec
+
+        mod = VideoSwinBackbone(spec=video_swin_spec("video_swin_t_p4w7"))
+        x = jnp.zeros((1, 2, 32, 32, 3), jnp.float32)
+    else:
+        from tce_rvos_tpu.models.x3d import X3DBackbone, x3d_spec
+
+        mod = X3DBackbone(spec=x3d_spec("x3d_s"))
+        x = jnp.zeros((1, 2, 32, 32, 3), jnp.float32)
+
+    variables = jax.jit(mod.init)(jax.random.PRNGKey(0), x)
+    # namespace like the full model does (backbone submodule)
+    wrapped = {
+        col: {"backbone": tree} for col, tree in variables.items()
+    }
+    flat = traverse_util.flatten_dict(wrapped, sep="/")
+    unmapped = [p for p in flat if flax_to_torch_key(p) is None]
+    assert unmapped == [], f"unmapped {family} params: {unmapped[:15]}"

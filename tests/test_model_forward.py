@@ -40,12 +40,8 @@ def _run(cfg, b=1, t=2, hw=(64, 96)):
     "cfg_kw",
     [
         dict(),
-        dict(with_box_refine=True),
-        dict(f_token=4),
-        dict(qtrans=True),
         dict(with_box_refine=True, f_token=4, qtrans=True),  # flagship shape
-        dict(vlblock=False),
-        dict(vis_loss=True, contrastive=True),
+        dict(vlblock=False, vis_loss=True, contrastive=True),
         dict(f_token=-1),
     ],
 )
