@@ -21,6 +21,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_GPU_CLIPS_PER_SEC = 8.0  # documented estimate, see module docstring
@@ -35,7 +36,8 @@ def main():
     from tce_rvos_tpu.config import ModelConfig
     from tce_rvos_tpu.models.build import build_model, example_inputs
 
-    cfg = ModelConfig(with_box_refine=True, binary=True, f_token=8, qtrans=True)
+    cfg = ModelConfig(with_box_refine=True, binary=True, f_token=8, qtrans=True,
+                      msda_impl="pallas")
     model = build_model(cfg)
     inputs = example_inputs(cfg, b=1, t=T, hw=(H, W), text_len=8)
 
@@ -52,25 +54,39 @@ def main():
             text_attn_mask=text_attn_mask,
             sizes=sizes,
         )
-        return out["pred_masks"], out["pred_logits"]
+        # scalar checksum: fetching it forces real execution on lazy backends
+        return out["pred_masks"], out["pred_logits"], out["pred_masks"].sum()
 
-    args = (
-        variables,
-        inputs["video"],
+    # one distinct (pre-staged, device-resident) input per iteration: defeats
+    # call memoization in tunnel backends without paying per-iteration host
+    # round-trips; a single scalar fetch closes the timing window. Seed from
+    # the clock — tunnel result caches persist across processes, so a fixed
+    # seed would replay cached results.
+    rng = np.random.RandomState(int(time.time() * 1e6) % (2**31))
+    base = np.asarray(inputs["video"])
+    make = jax.jit(lambda v: v)  # device staging
+    videos = [
+        jax.block_until_ready(
+            make(base + rng.randn(*base.shape).astype(np.float32) * 0.01)
+        )
+        for _ in range(ITERS)
+    ]
+    rest = (
         inputs["video_mask"],
         inputs["text_ids"],
         inputs["text_attn_mask"],
         inputs["sizes"],
     )
 
-    for _ in range(WARMUP):
-        masks, logits = fwd(*args)
-    jax.block_until_ready(masks)
+    _, _, cs = fwd(variables, videos[0], *rest)
+    float(cs)  # compile + settle
 
     start = time.perf_counter()
-    for _ in range(ITERS):
-        masks, logits = fwd(*args)
-    jax.block_until_ready(masks)
+    sums = []
+    for i in range(ITERS):
+        masks, logits, cs = fwd(variables, videos[i], *rest)
+        sums.append(cs)
+    checksum = sum(float(x) for x in sums)  # forces execution of every iter
     elapsed = time.perf_counter() - start
 
     clips_per_sec = ITERS / elapsed

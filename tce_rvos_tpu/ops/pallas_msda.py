@@ -40,14 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tce_rvos_tpu.ops.msda import SpatialShapes, level_splits, ms_deform_attn
 
-DEFAULT_BQ = 128  # queries per block
+DEFAULT_BQ = 256  # queries per block
 
 
 def _msda_level_kernel(
-    loc_ref,   # [1, BQ, 1, P, 2]
-    attn_ref,  # [1, BQ, 1, P]
-    v_ref,     # [1, 1, W, H*D]
-    out_ref,   # [1, BQ, 1, D]
+    locx_ref,  # [1, 1, BQ, P]
+    locy_ref,  # [1, 1, BQ, P]
+    attn_ref,  # [1, 1, BQ, P]
+    v_ref,     # [1, 1, W, D*H]  (rows = x, lanes = d-major (d*H + y))
+    out_ref,   # [1, 1, BQ, D]
     *,
     h: int,
     w: int,
@@ -55,38 +56,116 @@ def _msda_level_kernel(
     p: int,
     bq: int,
 ):
-    loc = loc_ref[0, :, 0]        # [BQ, P, 2]
-    attn = attn_ref[0, :, 0]      # [BQ, P]
-    v_t = v_ref[0, 0]             # [W, H*D]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (bq, h), 1).astype(jnp.float32)
+    # binary fold matrix G[c*H + y, c'] = (c == c'): the y-reduction of a
+    # d-major lane vector becomes one matmul (no lane reshapes, which Mosaic
+    # does not support). d-major because pltpu.repeat TILES its input:
+    # repeat(wy[H], d) = [wy, wy, ...] -> lane index c*H + y.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h * d, d), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h * d, d), 1)
+    fold = (rows // h == cols).astype(jnp.bfloat16)     # [D*H, D] exact 0/1
 
-    px = (loc[:, :, 0] * w - 0.5).reshape(bq * p, 1)   # [BQ*P, 1]
-    py = (loc[:, :, 1] * h - 0.5).reshape(bq * p, 1)
+    locx = locx_ref[0, 0]  # [BQ, P]
+    locy = locy_ref[0, 0]
+    attn = attn_ref[0, 0]
+    v_t = v_ref[0, 0]      # [W, D*H]
 
-    xs = jax.lax.broadcasted_iota(jnp.float32, (bq * p, w), 1)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - px))       # [BQ*P, W]
+    # stack the P points along sublanes -> ONE MXU matmul
+    wx_all = jnp.concatenate(
+        [
+            jnp.maximum(
+                0.0, 1.0 - jnp.abs(xs - (locx[:, pi : pi + 1] * w - 0.5))
+            )
+            for pi in range(p)
+        ],
+        axis=0,
+    )  # [P*BQ, W]
+    s1 = jnp.dot(
+        wx_all.astype(jnp.bfloat16), v_t.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # f32 accum (Mosaic requirement), bf16 elementwise
+    wy_all = jnp.concatenate(
+        [
+            jnp.maximum(
+                0.0, 1.0 - jnp.abs(ys - (locy[:, pi : pi + 1] * h - 0.5))
+            )
+            for pi in range(p)
+        ],
+        axis=0,
+    )  # [P*BQ, H]
+    wyf = pltpu.repeat(wy_all.astype(jnp.bfloat16), d, axis=1)  # [P*BQ, D*H]
+    s2 = s1 * wyf
+    s3 = jnp.dot(s2, fold, preferred_element_type=jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+    for pi in range(p):
+        acc = acc + attn[:, pi : pi + 1] * s3[pi * bq : (pi + 1) * bq]
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
 
-    s1 = jnp.dot(wx, v_t, preferred_element_type=jnp.float32)  # [BQ*P, H*D]
 
-    ys = jax.lax.broadcasted_iota(jnp.float32, (bq * p, h), 1)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys - py))       # [BQ*P, H]
+def _msda_level_kernel_flat(
+    locx_ref,  # [1, 1, BQ, P]
+    locy_ref,  # [1, 1, BQ, P]
+    attn_ref,  # [1, 1, BQ, P]
+    v_ref,     # [1, 1, HW, D]  (flat row-major pixels)
+    out_ref,   # [1, 1, BQ, D]
+    *,
+    h: int,
+    w: int,
+    d: int,
+    p: int,
+    bq: int,
+):
+    """Small-level variant: build the full 2D interpolation matrix
+    W2d[r, y*W+x] = relu(1-|y-py|)*relu(1-|x-px|) directly from iota
+    arithmetic (no fold matmul, no repeat — those relayout poorly at tiny
+    lane counts) and take the taps with one [P*BQ, H*W] @ [H*W, D] matmul."""
+    locx = locx_ref[0, 0]
+    locy = locy_ref[0, 0]
+    attn = attn_ref[0, 0]
+    v = v_ref[0, 0].astype(jnp.bfloat16)  # [HW, D]
 
-    s1 = s1.reshape(bq * p, h, d)
-    s2 = jnp.sum(s1 * wy[:, :, None], axis=1)           # [BQ*P, D]
-    s2 = s2.reshape(bq, p, d)
-    out = jnp.sum(s2 * attn[:, :, None], axis=1)        # [BQ, D]
-    out_ref[0, :, 0, :] = out.astype(out_ref.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bq, h * w), 1)
+    lane_y = (lane // w).astype(jnp.float32)
+    lane_x = (lane % w).astype(jnp.float32)
+
+    w2d = jnp.concatenate(
+        [
+            (
+                jnp.maximum(
+                    0.0, 1.0 - jnp.abs(lane_x - (locx[:, pi : pi + 1] * w - 0.5))
+                )
+                * jnp.maximum(
+                    0.0, 1.0 - jnp.abs(lane_y - (locy[:, pi : pi + 1] * h - 0.5))
+                )
+                * attn[:, pi : pi + 1]
+            )
+            for pi in range(p)
+        ],
+        axis=0,
+    ).astype(jnp.bfloat16)  # [P*BQ, HW] (attention folded in)
+
+    taps = jnp.dot(w2d, v, preferred_element_type=jnp.float32)  # [P*BQ, D]
+    acc = taps[0 * bq : 1 * bq]
+    for pi in range(1, p):
+        acc = acc + taps[pi * bq : (pi + 1) * bq]
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+
+FLAT_LEVEL_MAX_PIXELS = 1024  # levels at or below use the flat kernel
 
 
 def _msda_level_pallas(
-    value_t: jnp.ndarray,   # [N, M, W, H*D] (pre-transposed level tile)
+    value_t: jnp.ndarray,   # [N, M, W, D*H] (separable) or [N, M, HW, D] (flat)
     loc: jnp.ndarray,       # [N, Q, M, P, 2]
     attn: jnp.ndarray,      # [N, Q, M, P]
     h: int,
     w: int,
     block_q: int = DEFAULT_BQ,
+    flat: bool = False,
 ) -> jnp.ndarray:
     n, q, m, p, _ = loc.shape
-    d = value_t.shape[-1] // h
+    d = value_t.shape[-1] if flat else value_t.shape[-1] // h
     pad = (-q) % block_q
     if pad:
         loc = jnp.pad(loc, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
@@ -94,41 +173,44 @@ def _msda_level_pallas(
     qp = q + pad
     grid = (n, m, qp // block_q)
 
+    # Mosaic wants the blocked axes last: [N, M, Q, P] layouts
+    locx_t = loc[..., 0].transpose(0, 2, 1, 3)  # [N, M, Q, P]
+    locy_t = loc[..., 1].transpose(0, 2, 1, 3)
+    attn_t = attn.transpose(0, 2, 1, 3)
+
+    qp_spec = pl.BlockSpec(
+        (1, 1, block_q, p),
+        lambda ni, mi, qi: (ni, mi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = _msda_level_kernel_flat if flat else _msda_level_kernel
+    v_block = (1, 1, h * w, d) if flat else (1, 1, w, d * h)
     out = pl.pallas_call(
-        functools.partial(
-            _msda_level_kernel, h=h, w=w, d=d, p=p, bq=block_q
-        ),
+        functools.partial(kernel, h=h, w=w, d=d, p=p, bq=block_q),
         grid=grid,
         in_specs=[
+            qp_spec,
+            qp_spec,
+            qp_spec,
             pl.BlockSpec(
-                (1, block_q, 1, p, 2),
-                lambda ni, mi, qi: (ni, qi, mi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_q, 1, p),
-                lambda ni, mi, qi: (ni, qi, mi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, w, h * d),
+                v_block,
                 lambda ni, mi, qi: (ni, mi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, 1, d),
-            lambda ni, mi, qi: (ni, qi, mi, 0),
+            (1, 1, block_q, d),
+            lambda ni, mi, qi: (ni, mi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, qp, m, d), value_t.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, m, qp, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * m * qp * p * w * h * d,
             bytes_accessed=n * m * w * h * d * 4 + n * qp * m * p * 3 * 4,
             transcendentals=0,
         ),
-    )(loc, attn, value_t)
-    return out[:, :q]
+    )(locx_t, locy_t, attn_t, value_t)
+    return out.transpose(0, 2, 1, 3)[:, :q]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -150,13 +232,18 @@ def _forward(value, spatial_shapes, loc, attn):
     out = jnp.zeros((n, q, m, d), dtype=value.dtype)
     for lvl, (h, w) in enumerate(spatial_shapes):
         v = value[:, starts[lvl] : starts[lvl + 1]]          # [N, H*W, M, D]
-        v_t = (
-            v.reshape(n, h, w, m, d)
-            .transpose(0, 3, 2, 1, 4)                         # [N, M, W, H, D]
-            .reshape(n, m, w, h * d)
-        )
+        flat = h * w <= FLAT_LEVEL_MAX_PIXELS
+        if flat:
+            v_t = v.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # [N, M, HW, D]
+        else:
+            v_t = (
+                v.reshape(n, h, w, m, d)
+                .transpose(0, 3, 2, 4, 1)                     # [N, M, W, D, H]
+                .reshape(n, m, w, d * h)                      # d-major lanes
+                .astype(jnp.bfloat16)
+            )
         out = out + _msda_level_pallas(
-            v_t, loc[:, :, :, lvl], attn[:, :, :, lvl], h, w
+            v_t, loc[:, :, :, lvl], attn[:, :, :, lvl], h, w, flat=flat
         )
     return out.reshape(n, q, m * d)
 
