@@ -53,9 +53,8 @@ DEFAULT_BQ = 256  # queries per block
 
 
 def _msda_level_kernel(
-    locx_ref,  # [1, 1, BQ, P]
-    locy_ref,  # [1, 1, BQ, P]
-    attn_ref,  # [1, 1, BQ, P]
+    loc_ref,   # [1, 1, P*2, BQ]  (Q-minor: sublane index = pi*2 + {x,y})
+    attn_ref,  # [1, 1, P, BQ]
     v_ref,     # [1, 1, W, D*H]  (rows = x, lanes = d-major (d*H + y))
     out_ref,   # [1, 1, BQ, D]
     *,
@@ -75,16 +74,16 @@ def _msda_level_kernel(
     cols = jax.lax.broadcasted_iota(jnp.int32, (h * d, d), 1)
     fold = (rows // h == cols).astype(jnp.bfloat16)     # [D*H, D] exact 0/1
 
-    locx = locx_ref[0, 0]  # [BQ, P]
-    locy = locy_ref[0, 0]
-    attn = attn_ref[0, 0]
     v_t = v_ref[0, 0]      # [W, D*H]
+
+    def col(ref, row):  # one Q-minor sublane -> a [BQ, 1] column
+        return jnp.transpose(ref[0, 0, row : row + 1, :])
 
     # stack the P points along sublanes -> ONE MXU matmul
     wx_all = jnp.concatenate(
         [
             jnp.maximum(
-                0.0, 1.0 - jnp.abs(xs - (locx[:, pi : pi + 1] * w - 0.5))
+                0.0, 1.0 - jnp.abs(xs - (col(loc_ref, 2 * pi) * w - 0.5))
             )
             for pi in range(p)
         ],
@@ -97,7 +96,7 @@ def _msda_level_kernel(
     wy_all = jnp.concatenate(
         [
             jnp.maximum(
-                0.0, 1.0 - jnp.abs(ys - (locy[:, pi : pi + 1] * h - 0.5))
+                0.0, 1.0 - jnp.abs(ys - (col(loc_ref, 2 * pi + 1) * h - 0.5))
             )
             for pi in range(p)
         ],
@@ -108,14 +107,13 @@ def _msda_level_kernel(
     s3 = jnp.dot(s2, fold, preferred_element_type=jnp.float32)
     acc = jnp.zeros((bq, d), jnp.float32)
     for pi in range(p):
-        acc = acc + attn[:, pi : pi + 1] * s3[pi * bq : (pi + 1) * bq]
+        acc = acc + col(attn_ref, pi) * s3[pi * bq : (pi + 1) * bq]
     out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 def _msda_level_kernel_flat(
-    locx_ref,  # [1, 1, BQ, P]
-    locy_ref,  # [1, 1, BQ, P]
-    attn_ref,  # [1, 1, BQ, P]
+    loc_ref,   # [1, 1, P*2, BQ]  (Q-minor)
+    attn_ref,  # [1, 1, P, BQ]
     v_ref,     # [1, 1, HW, D]  (flat row-major pixels)
     out_ref,   # [1, 1, BQ, D]
     *,
@@ -129,10 +127,10 @@ def _msda_level_kernel_flat(
     W2d[r, y*W+x] = relu(1-|y-py|)*relu(1-|x-px|) directly from iota
     arithmetic (no fold matmul, no repeat — those relayout poorly at tiny
     lane counts) and take the taps with one [P*BQ, H*W] @ [H*W, D] matmul."""
-    locx = locx_ref[0, 0]
-    locy = locy_ref[0, 0]
-    attn = attn_ref[0, 0]
     v = v_ref[0, 0].astype(jnp.bfloat16)  # [HW, D]
+
+    def col(ref, row):
+        return jnp.transpose(ref[0, 0, row : row + 1, :])
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (bq, h * w), 1)
     lane_y = (lane // w).astype(jnp.float32)
@@ -142,12 +140,12 @@ def _msda_level_kernel_flat(
         [
             (
                 jnp.maximum(
-                    0.0, 1.0 - jnp.abs(lane_x - (locx[:, pi : pi + 1] * w - 0.5))
+                    0.0, 1.0 - jnp.abs(lane_x - (col(loc_ref, 2 * pi) * w - 0.5))
                 )
                 * jnp.maximum(
-                    0.0, 1.0 - jnp.abs(lane_y - (locy[:, pi : pi + 1] * h - 0.5))
+                    0.0, 1.0 - jnp.abs(lane_y - (col(loc_ref, 2 * pi + 1) * h - 0.5))
                 )
-                * attn[:, pi : pi + 1]
+                * col(attn_ref, pi)
             )
             for pi in range(p)
         ],
@@ -166,21 +164,26 @@ FLAT_LEVEL_MAX_PIXELS = 1024  # levels at or below use the flat kernel
 
 def _msda_level_pallas(
     value_t: jnp.ndarray,   # [N, M, W, D*H] (separable) or [N, M, HW, D] (flat)
-    locx_t: jnp.ndarray,    # [N, M, Qp, P] (pre-transposed, pre-padded)
-    locy_t: jnp.ndarray,    # [N, M, Qp, P]
-    attn_t: jnp.ndarray,    # [N, M, Qp, P]
+    loc_t: jnp.ndarray,     # [N, M, P*2, Qp] (Q-minor)
+    attn_t: jnp.ndarray,    # [N, M, P, Qp]
     h: int,
     w: int,
     block_q: int = DEFAULT_BQ,
     flat: bool = False,
 ) -> jnp.ndarray:
-    n, m, qp, p = locx_t.shape
+    n, m, p2, qp = loc_t.shape
+    p = p2 // 2
     d = value_t.shape[-1] if flat else value_t.shape[-1] // h
     grid = (n, m, qp // block_q)
 
-    qp_spec = pl.BlockSpec(
-        (1, 1, block_q, p),
-        lambda ni, mi, qi: (ni, mi, qi, 0),
+    loc_spec = pl.BlockSpec(
+        (1, 1, p2, block_q),
+        lambda ni, mi, qi: (ni, mi, 0, qi),
+        memory_space=pltpu.VMEM,
+    )
+    attn_spec = pl.BlockSpec(
+        (1, 1, p, block_q),
+        lambda ni, mi, qi: (ni, mi, 0, qi),
         memory_space=pltpu.VMEM,
     )
     kernel = _msda_level_kernel_flat if flat else _msda_level_kernel
@@ -189,9 +192,8 @@ def _msda_level_pallas(
         functools.partial(kernel, h=h, w=w, d=d, p=p, bq=block_q),
         grid=grid,
         in_specs=[
-            qp_spec,
-            qp_spec,
-            qp_spec,
+            loc_spec,
+            attn_spec,
             pl.BlockSpec(
                 v_block,
                 lambda ni, mi, qi: (ni, mi, 0, 0),
@@ -209,7 +211,7 @@ def _msda_level_pallas(
             bytes_accessed=n * m * w * h * d * 4 + n * qp * m * p * 3 * 4,
             transcendentals=0,
         ),
-    )(locx_t, locy_t, attn_t, value_t)
+    )(loc_t, attn_t, value_t)
     return out  # [N, M, Qp, D]
 
 
@@ -233,18 +235,21 @@ def _forward(value, spatial_shapes, loc, attn):
     # slices of it are then free (contiguous S ranges). Only levels on the
     # separable path need their own (W, D*H) relayout.
     value_hm = value.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # [N, M, S, D]
-    # ONE pad + head-major transpose for the query-side tensors; per-level
-    # slices along L are then free
+    # ONE pad + clean 2D transpose to Q-minor layouts (strided 6D permutes
+    # are ~10x off bandwidth on TPU); per-level slices are then free
+    nlvl = len(spatial_shapes)
+    p = loc.shape[4]
     pad = (-q) % DEFAULT_BQ
-    loc_t = jnp.pad(
-        loc.transpose(0, 2, 3, 1, 4, 5),                      # [N, M, L, Q, P, 2]
-        ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0), (0, 0)),
-    )
-    attn_t = jnp.pad(
-        attn.transpose(0, 2, 3, 1, 4),                        # [N, M, L, Q, P]
-        ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)),
-    )
-    out = jnp.zeros((n, m, q + pad, d), dtype=jnp.float32)
+    qp = q + pad
+    loc_flat = jnp.pad(
+        loc.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
+    ).transpose(0, 2, 1)                                      # [N, M*L*P*2, Qp]
+    loc_qmin = loc_flat.reshape(n, m, nlvl, p * 2, qp)
+    attn_flat = jnp.pad(
+        attn.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
+    ).transpose(0, 2, 1)                                      # [N, M*L*P, Qp]
+    attn_qmin = attn_flat.reshape(n, m, nlvl, p, qp)
+    out = jnp.zeros((n, m, qp, d), dtype=jnp.float32)
     for lvl, (h, w) in enumerate(spatial_shapes):
         flat = h * w <= FLAT_LEVEL_MAX_PIXELS
         if flat:
@@ -257,11 +262,7 @@ def _forward(value, spatial_shapes, loc, attn):
                 .reshape(n, m, w, d * h)                      # d-major lanes
             )
         out = out + _msda_level_pallas(
-            v_t,
-            loc_t[:, :, lvl, :, :, 0],
-            loc_t[:, :, lvl, :, :, 1],
-            attn_t[:, :, lvl],
-            h, w, flat=flat,
+            v_t, loc_qmin[:, :, lvl], attn_qmin[:, :, lvl], h, w, flat=flat
         )
     out = out.transpose(0, 2, 1, 3)[:, :q]                    # [N, Q, M, D]
     return out.reshape(n, q, m * d).astype(value.dtype)
