@@ -76,14 +76,19 @@ def _msda_level_kernel(
 
     v_t = v_ref[0, 0]      # [W, D*H]
 
-    def col(ref, row):  # one Q-minor sublane -> a [BQ, 1] column
-        return jnp.transpose(ref[0, 0, row : row + 1, :])
+    # ONE transpose per ref (vs one per point): [P*2, BQ] -> [BQ, P*2]
+    loc_t = jnp.transpose(loc_ref[0, 0])
+    attn_t = jnp.transpose(attn_ref[0, 0])
+
+    def col(which, row):
+        src = loc_t if which == "loc" else attn_t
+        return src[:, row : row + 1]
 
     # stack the P points along sublanes -> ONE MXU matmul
     wx_all = jnp.concatenate(
         [
             jnp.maximum(
-                0.0, 1.0 - jnp.abs(xs - (col(loc_ref, 2 * pi) * w - 0.5))
+                0.0, 1.0 - jnp.abs(xs - (col("loc", 2 * pi) * w - 0.5))
             )
             for pi in range(p)
         ],
@@ -96,7 +101,7 @@ def _msda_level_kernel(
     wy_all = jnp.concatenate(
         [
             jnp.maximum(
-                0.0, 1.0 - jnp.abs(ys - (col(loc_ref, 2 * pi + 1) * h - 0.5))
+                0.0, 1.0 - jnp.abs(ys - (col("loc", 2 * pi + 1) * h - 0.5))
             )
             for pi in range(p)
         ],
@@ -107,7 +112,7 @@ def _msda_level_kernel(
     s3 = jnp.dot(s2, fold, preferred_element_type=jnp.float32)
     acc = jnp.zeros((bq, d), jnp.float32)
     for pi in range(p):
-        acc = acc + col(attn_ref, pi) * s3[pi * bq : (pi + 1) * bq]
+        acc = acc + col("attn", pi) * s3[pi * bq : (pi + 1) * bq]
     out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
@@ -129,8 +134,12 @@ def _msda_level_kernel_flat(
     lane counts) and take the taps with one [P*BQ, H*W] @ [H*W, D] matmul."""
     v = v_ref[0, 0].astype(jnp.bfloat16)  # [HW, D]
 
-    def col(ref, row):
-        return jnp.transpose(ref[0, 0, row : row + 1, :])
+    loc_t = jnp.transpose(loc_ref[0, 0])
+    attn_t = jnp.transpose(attn_ref[0, 0])
+
+    def col(which, row):
+        src = loc_t if which == "loc" else attn_t
+        return src[:, row : row + 1]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (bq, h * w), 1)
     lane_y = (lane // w).astype(jnp.float32)
@@ -140,12 +149,12 @@ def _msda_level_kernel_flat(
         [
             (
                 jnp.maximum(
-                    0.0, 1.0 - jnp.abs(lane_x - (col(loc_ref, 2 * pi) * w - 0.5))
+                    0.0, 1.0 - jnp.abs(lane_x - (col("loc", 2 * pi) * w - 0.5))
                 )
                 * jnp.maximum(
-                    0.0, 1.0 - jnp.abs(lane_y - (col(loc_ref, 2 * pi + 1) * h - 0.5))
+                    0.0, 1.0 - jnp.abs(lane_y - (col("loc", 2 * pi + 1) * h - 0.5))
                 )
-                * col(attn_ref, pi)
+                * col("attn", pi)
             )
             for pi in range(p)
         ],
