@@ -248,7 +248,8 @@ def _forward(value, spatial_shapes, loc, attn):
     # are ~10x off bandwidth on TPU); per-level slices are then free
     nlvl = len(spatial_shapes)
     p = loc.shape[4]
-    pad = (-q) % DEFAULT_BQ
+    # pad base 512 = lcm of the separable (256) and flat (512) block sizes
+    pad = (-q) % 512
     qp = q + pad
     loc_flat = jnp.pad(
         loc.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
@@ -271,7 +272,8 @@ def _forward(value, spatial_shapes, loc, attn):
                 .reshape(n, m, w, d * h)                      # d-major lanes
             )
         out = out + _msda_level_pallas(
-            v_t, loc_qmin[:, :, lvl], attn_qmin[:, :, lvl], h, w, flat=flat
+            v_t, loc_qmin[:, :, lvl], attn_qmin[:, :, lvl], h, w,
+            block_q=512 if flat else DEFAULT_BQ, flat=flat,
         )
     out = out.transpose(0, 2, 1, 3)[:, :q]                    # [N, Q, M, D]
     return out.reshape(n, q, m * d).astype(value.dtype)
