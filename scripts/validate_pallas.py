@@ -25,8 +25,6 @@ def main():
     attn = jnp.asarray(rng.rand(n, q, m, len(shapes), p) + 1e-3, jnp.float32)
     attn = attn / attn.reshape(n, q, m, -1).sum(-1)[..., None, None]
 
-    with jax.default_matmul_precision("highest"):
-        pass
     f_xla = jax.jit(lambda v, l, a: ms_deform_attn(v, shapes, l, a))
     f_pal = jax.jit(lambda v, l, a: ms_deform_attn_pallas(v, shapes, l, a))
 
