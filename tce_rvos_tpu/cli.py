@@ -46,6 +46,13 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--vlblock", action="store_false",
                    help="(reference semantics) pass to DISABLE the V-L FPN blocks")
     p.add_argument("--f_extra", default=0, type=int)
+    p.add_argument("--msda_impl", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="deformable-attention backend; auto = pallas on TPU")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="inference compute dtype (bfloat16 = TPU MXU fast "
+                        "path; params/inputs are cast at the boundary)")
     return p
 
 
@@ -102,6 +109,12 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--pretrain_coco", action="store_true")
     p.add_argument("--output_dir", default="output")
     p.add_argument("--resume", default="")
+    p.add_argument("--ckpt_backend", default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="orbax = multi-host/sharded checkpointing with "
+                        "retention (utils/native_ckpt.OrbaxCheckpointManager)")
+    p.add_argument("--ckpt_keep", default=5, type=int,
+                   help="checkpoints retained by the orbax backend")
     p.add_argument("--threshold", default=0.5, type=float)
     p.add_argument("--split", default="valid", choices=["valid", "test", "valid_u"])
     p.add_argument("--visualize", action="store_true")
@@ -119,6 +132,12 @@ def get_args_parser() -> argparse.ArgumentParser:
 def model_config_from_args(args) -> ModelConfig:
     fields = {f.name for f in ModelConfig.__dataclass_fields__.values()}
     kwargs = {k: v for k, v in vars(args).items() if k in fields}
+    if getattr(args, "msda_impl", "auto") == "auto":
+        import jax
+
+        kwargs["msda_impl"] = (
+            "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        )
     return ModelConfig(**kwargs)
 
 

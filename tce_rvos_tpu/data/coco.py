@@ -23,11 +23,31 @@ class CocoDetection:
             coco = json.load(fh)
         self.images = {img["id"]: img for img in coco["images"]}
         self.anns_by_image: Dict = {}
+        self._eval_anns_by_image: Dict = {}  # crowds kept (evaluator ignores)
         for ann in coco["annotations"]:
+            self._eval_anns_by_image.setdefault(ann["image_id"], []).append(ann)
             if ann.get("iscrowd", 0):
                 continue
             self.anns_by_image.setdefault(ann["image_id"], []).append(ann)
         self.ids = sorted(self.images.keys())
+
+    def coco_gt_by_image(self) -> Dict:
+        """GT annotations in eval.coco_eval.CocoEvaluator format: crowd anns
+        are retained (the COCO protocol scores them as ignores, reference
+        datasets/coco_eval.py via pycocotools)."""
+        out: Dict = {}
+        for img_id, anns in self._eval_anns_by_image.items():
+            out[img_id] = [
+                {
+                    "bbox": a["bbox"],
+                    "area": a.get(
+                        "area", float(a["bbox"][2]) * float(a["bbox"][3])
+                    ),
+                    "iscrowd": a.get("iscrowd", 0),
+                }
+                for a in anns
+            ]
+        return out
 
     def __len__(self):
         return len(self.ids)

@@ -99,13 +99,21 @@ def evaluate_coco_pretrain(
     variables,
     loader,
     gt_boxes_by_image: Dict,
+    coco_gt_by_image: Dict = None,
 ) -> Dict[str, float]:
     """COCO-pretrain eval (parity with reference engine.py:98-161): run the
-    bbox postprocessor and score P@{1,5,10} via RefExpEvaluator."""
+    bbox postprocessor and score P@{1,5,10} via RefExpEvaluator plus,
+    when ``coco_gt_by_image`` annotations are supplied, the class-agnostic
+    COCO box mAP the reference gets from CocoEvaluator (engine.py:143-157)."""
     from tce_rvos_tpu.eval.refexp_eval import RefExpEvaluator
     from tce_rvos_tpu.models.postprocessors import coco_postprocess_bbox
 
     evaluator = RefExpEvaluator(gt_boxes_by_image)
+    coco_evaluator = None
+    if coco_gt_by_image is not None:
+        from tce_rvos_tpu.eval.coco_eval import CocoEvaluator
+
+        coco_evaluator = CocoEvaluator(coco_gt_by_image, iou_types=("bbox",))
     logger = MetricLogger()
     for batch in logger.log_every(loader, 10, "Test:"):
         outputs = fwd(
@@ -117,16 +125,20 @@ def evaluate_coco_pretrain(
             sizes=jnp.asarray(batch["sizes"]),
         )
         results = coco_postprocess_bbox(outputs, np.asarray(batch["orig_sizes"]))
-        evaluator.update(
-            {
-                batch["image_ids"][i]: {
-                    "scores": results[i]["scores"],
-                    "boxes": results[i]["boxes"],
-                }
-                for i in range(len(results))
+        res = {
+            batch["image_ids"][i]: {
+                "scores": results[i]["scores"],
+                "boxes": results[i]["boxes"],
             }
-        )
-    return evaluator.summarize()
+            for i in range(len(results))
+        }
+        evaluator.update(res)
+        if coco_evaluator is not None:
+            coco_evaluator.update(res)
+    stats = evaluator.summarize()
+    if coco_evaluator is not None:
+        stats["coco_eval_bbox"] = coco_evaluator.stats("bbox")
+    return stats
 
 
 def evaluate_a2d(

@@ -81,6 +81,10 @@ class InferenceEngine:
     ):
         self.cfg = cfg
         self.model = build_model(cfg)
+        if cfg.compute_dtype != "float32":
+            from tce_rvos_tpu.utils.precision import cast_floating
+
+            variables = cast_floating(variables, cfg.compute_dtype)
         self.variables = variables
         self.size = size
         self.max_size = max_size
@@ -89,6 +93,10 @@ class InferenceEngine:
         self._fwd = jax.jit(self._forward)
 
     def _forward(self, variables, video, video_mask, text_ids, text_attn, sizes):
+        if self.cfg.compute_dtype != "float32":
+            from tce_rvos_tpu.utils.precision import resolve_dtype
+
+            video = video.astype(resolve_dtype(self.cfg.compute_dtype))
         out = self.model.apply(
             variables,
             video=video,

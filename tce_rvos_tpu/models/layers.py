@@ -127,4 +127,6 @@ class FFN(nn.Module):
 
 
 def with_pos(tensor: jnp.ndarray, pos: Optional[jnp.ndarray]) -> jnp.ndarray:
-    return tensor if pos is None else tensor + pos
+    # pos encodings are built in f32; follow the feature dtype so a bf16
+    # compute path isn't silently re-promoted to f32 by the addition
+    return tensor if pos is None else tensor + pos.astype(tensor.dtype)

@@ -442,7 +442,8 @@ class DeformableTransformer(nn.Module):
         mask_flat = jnp.concatenate([m.reshape(n, -1) for m in masks], axis=1)
         pos_flat = jnp.concatenate(
             [
-                p.reshape(n, -1, c) + level_embed[lvl][None, None]
+                p.reshape(n, -1, c).astype(src_flat.dtype)
+                + level_embed[lvl][None, None]
                 for lvl, p in enumerate(pos_embeds)
             ],
             axis=1,
@@ -482,9 +483,11 @@ class DeformableTransformer(nn.Module):
         query_pos = jnp.broadcast_to(
             query_embed[None], (b * t, q_per_frame, c)
         )
+        # coordinate math is pinned to f32: on the bf16 compute path a [0,1]
+        # box center quantised to bf16 (~0.4% rel) drifts pixels at 640px
         init_reference = nn.sigmoid(
             nn.Dense(2, kernel_init=xavier, name="reference_points")(query_pos)
-        )
+        ).astype(jnp.float32)
 
         # ---- decoder ----
         reference_points = init_reference

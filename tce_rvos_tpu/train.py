@@ -90,12 +90,25 @@ def main(argv=None):
     crit_cfg = criterion_from_configs(model_cfg, train_cfg)
     step_fn = jax.jit(make_train_step(model.apply, tx, crit_cfg))
 
+    ckpt_manager = None
+    if args.ckpt_backend == "orbax":
+        from tce_rvos_tpu.utils.native_ckpt import OrbaxCheckpointManager
+
+        ckpt_manager = OrbaxCheckpointManager(
+            os.path.join(args.output_dir, "orbax"), max_to_keep=args.ckpt_keep
+        )
+
     start_epoch = args.start_epoch
     if args.resume:
         variables_t = {"params": state.params, **state.frozen}
-        variables_r, opt_state, meta = load_checkpoint(
-            args.resume, variables_t, state.opt_state
-        )
+        if ckpt_manager is not None:
+            variables_r, opt_state, meta = ckpt_manager.restore(
+                variables_t, state.opt_state
+            )
+        else:
+            variables_r, opt_state, meta = load_checkpoint(
+                args.resume, variables_t, state.opt_state
+            )
         state = state.replace(
             params=variables_r["params"],
             frozen={k: v for k, v in variables_r.items() if k != "params"},
@@ -132,14 +145,20 @@ def main(argv=None):
             )
 
             ckpt_vars = {"params": state.params, **state.frozen}
-            save_checkpoint(
-                os.path.join(output_dir, "checkpoint"), ckpt_vars,
-                state.opt_state, epoch, int(state.step),
-            )
-            save_checkpoint(
-                os.path.join(output_dir, f"checkpoint{epoch:04}"), ckpt_vars,
-                state.opt_state, epoch, int(state.step),
-            )
+            if ckpt_manager is not None:
+                ckpt_manager.save(
+                    int(state.step), ckpt_vars, state.opt_state,
+                    meta={"epoch": epoch, "step": int(state.step)},
+                )
+            else:
+                save_checkpoint(
+                    os.path.join(output_dir, "checkpoint"), ckpt_vars,
+                    state.opt_state, epoch, int(state.step),
+                )
+                save_checkpoint(
+                    os.path.join(output_dir, f"checkpoint{epoch:04}"), ckpt_vars,
+                    state.opt_state, epoch, int(state.step),
+                )
 
             log_stats = {
                 **{f"train_{k}": v for k, v in train_stats.items()},
@@ -150,6 +169,9 @@ def main(argv=None):
                 with open(os.path.join(output_dir, "log.txt"), "a") as fh:
                     fh.write(json.dumps(log_stats) + "\n")
 
+    if ckpt_manager is not None:
+        ckpt_manager.wait()
+        ckpt_manager.close()
     total = str(datetime.timedelta(seconds=int(time.time() - start_time)))
     print(f"Training time {total}")
 

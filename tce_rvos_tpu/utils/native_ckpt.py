@@ -2,9 +2,17 @@
 {'model','optimizer','lr_scheduler','epoch','args'} — reference
 main.py:262-275, util/misc.py:442-444).
 
-Format: a directory with ``variables.msgpack`` (flax serialization of model
-variables), ``opt_state.msgpack``, and ``meta.json`` (epoch, step, config).
-Only process 0 writes (save_on_master semantics)."""
+Two backends:
+
+  * msgpack (default) — a directory with ``variables.msgpack`` (flax
+    serialization of model variables), ``opt_state.msgpack``, and
+    ``meta.json`` (epoch, step, config). Only process 0 writes
+    (save_on_master semantics). Single-host, simple, dependency-free.
+  * orbax — ``OrbaxCheckpointManager`` below: the production path for
+    multi-host / sharded training (each host writes its own shards,
+    restore honors the target's shardings) with retention policy and
+    step bookkeeping.
+"""
 
 from __future__ import annotations
 
@@ -59,3 +67,65 @@ def load_checkpoint(
         with open(meta_path) as fh:
             meta = json.load(fh)
     return variables, opt_state, meta
+
+
+class OrbaxCheckpointManager:
+    """Orbax-backed checkpointing for multi-host / sharded training.
+
+    Thin wrapper over ``orbax.checkpoint.CheckpointManager``: saves
+    ``{"variables", "opt_state", "meta"}`` per step, keeps ``max_to_keep``
+    newest, restores onto templates so sharding annotations are honored
+    (every host participates — unlike the msgpack path, do NOT gate on
+    process_index).
+
+    Replaces the reference's torch.save rotation of checkpoint{epoch}.pth
+    (main.py:258-275) with atomic, async-capable step directories.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.manager = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, variables, opt_state=None, meta: Optional[Dict] = None):
+        ocp = self._ocp
+        items = {"variables": ocp.args.StandardSave(variables)}
+        if opt_state is not None:
+            items["opt_state"] = ocp.args.StandardSave(opt_state)
+        if meta:
+            items["meta"] = ocp.args.JsonSave(meta)
+        self.manager.save(step, args=ocp.args.Composite(**items))
+
+    def restore(
+        self, variables_template, opt_state_template=None, step: Optional[int] = None
+    ) -> Tuple[Dict, Any, Dict]:
+        ocp = self._ocp
+        if step is None:
+            step = self.manager.latest_step()
+            if step is None:
+                raise FileNotFoundError("no orbax checkpoint found")
+        items = {"variables": ocp.args.StandardRestore(variables_template)}
+        if opt_state_template is not None:
+            items["opt_state"] = ocp.args.StandardRestore(opt_state_template)
+        restored = self.manager.restore(step, args=ocp.args.Composite(**items))
+        meta = {}
+        try:
+            meta = self.manager.restore(
+                step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
+            )["meta"] or {}
+        except Exception:
+            pass
+        return restored["variables"], restored.get("opt_state"), meta
+
+    def wait(self):
+        """Block until any in-flight async save completes."""
+        self.manager.wait_until_finished()
+
+    def close(self):
+        self.manager.close()

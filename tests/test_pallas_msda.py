@@ -1,20 +1,13 @@
 """Pallas MSDA kernel parity vs the XLA oracle.
 
-Interpreter-mode execution is prohibitively slow on remote-compile backends
-(every interpreted kernel op is an eager dispatch), so these tests are
-opt-in: set RUN_PALLAS_INTERPRET=1. On real TPU the kernel is exercised
-natively by bench.py / scripts/validate_pallas.py."""
-
-import os
+Runs in TPU-interpret mode on the local CPU backend (fast there; the
+conftest forces genuine local CPU). The kernel computes its interpolation
+taps in bfloat16 by design (ops/pallas_msda.py), so tolerances are
+bf16-scale, not f32-scale. On real TPU the kernel is additionally
+exercised natively by bench.py / scripts/validate_pallas.py."""
 
 import numpy as np
-import pytest
-
-if not os.environ.get("RUN_PALLAS_INTERPRET"):
-    pytest.skip(
-        "pallas interpret tests disabled (set RUN_PALLAS_INTERPRET=1)",
-        allow_module_level=True,
-    )
+import pytest  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +37,8 @@ def test_pallas_matches_oracle(inputs):
     expected = np.asarray(ms_deform_attn(value, SHAPES, loc, attn))
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(ms_deform_attn_pallas(value, SHAPES, loc, attn))
-    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+    # bf16 taps: ~8 mantissa bits => absolute error ~1e-2 * |value| scale
+    np.testing.assert_allclose(got, expected, rtol=0.05, atol=5e-3)
 
 
 def test_pallas_backward_uses_oracle_vjp(inputs):
@@ -59,5 +53,7 @@ def test_pallas_backward_uses_oracle_vjp(inputs):
 
     gp = jax.grad(loss_p, argnums=(0, 2))(value, loc, attn)
     go = jax.grad(loss_o, argnums=(0, 2))(value, loc, attn)
+    # the bwd IS the oracle vjp, but its incoming cotangent (2*out) carries
+    # the forward's bf16 tap error, so grads match at bf16 scale
     for a, b in zip(gp, go):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.05, atol=5e-3)
