@@ -35,14 +35,19 @@ ITERS = 10
 def main():
     from tce_rvos_tpu.config import ModelConfig
     from tce_rvos_tpu.models.build import build_model, example_inputs
+    from tce_rvos_tpu.utils.precision import apply_compute_dtype
 
+    # deployment configuration: bf16 boundary cast (utils/precision.py) —
+    # pass "float32" as argv[1] to measure the full-precision path
+    dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
     cfg = ModelConfig(with_box_refine=True, binary=True, f_token=8, qtrans=True,
-                      msda_impl="pallas")
+                      msda_impl="pallas", compute_dtype=dtype)
     model = build_model(cfg)
     inputs = example_inputs(cfg, b=1, t=T, hw=(H, W), text_len=8)
 
     init = jax.jit(model.init)
     variables = init(jax.random.PRNGKey(0), **inputs)
+    variables, inputs = apply_compute_dtype(cfg, variables, inputs)
 
     @jax.jit
     def fwd(variables, video, video_mask, text_ids, text_attn_mask, sizes):
@@ -63,11 +68,15 @@ def main():
     # the clock — tunnel result caches persist across processes, so a fixed
     # seed would replay cached results.
     rng = np.random.RandomState(int(time.time() * 1e6) % (2**31))
-    base = np.asarray(inputs["video"])
+    base = np.asarray(inputs["video"], np.float32)
+    in_dtype = inputs["video"].dtype  # keep the compute dtype (bf16 path)
     make = jax.jit(lambda v: v)  # device staging
     videos = [
         jax.block_until_ready(
-            make(base + rng.randn(*base.shape).astype(np.float32) * 0.01)
+            make(
+                (base + rng.randn(*base.shape).astype(np.float32) * 0.01)
+                .astype(in_dtype)
+            )
         )
         for _ in range(ITERS)
     ]

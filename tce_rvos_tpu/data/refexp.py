@@ -120,6 +120,34 @@ class RefExpDataset:
     def __len__(self):
         return len(self.ids)
 
+    def gt_boxes_by_image(self):
+        """image_id -> [n_gt, 4] xyxy, for eval.refexp_eval.RefExpEvaluator
+        (reference datasets/refexp_eval.py:49-60 reads them off coco_gt)."""
+        out = {}
+        for img_id in self.ids:
+            boxes = []
+            for a in self.anns_by_image[img_id]:
+                x, y, w, h = a["bbox"]
+                boxes.append([x, y, x + w, y + h])
+            out[img_id] = np.asarray(boxes, np.float32)
+        return out
+
+    def coco_gt_by_image(self):
+        """image_id -> annotation dicts for eval.coco_eval.CocoEvaluator."""
+        return {
+            img_id: [
+                {
+                    "bbox": a["bbox"],
+                    "area": a.get(
+                        "area", float(a["bbox"][2]) * float(a["bbox"][3])
+                    ),
+                    "iscrowd": a.get("iscrowd", 0),
+                }
+                for a in self.anns_by_image[img_id]
+            ]
+            for img_id in self.ids
+        }
+
     def __getitem__(self, idx: int):
         from PIL import Image
 

@@ -25,6 +25,55 @@ import jax
 import jax.numpy as jnp
 
 
+def run_eval(args, model_cfg, data_cfg, model, variables):
+    """Eval-only dispatch (reference main.py:150-176): A2D/JHMDB get the
+    mask mAP + P@K protocol, RefCOCO(+/g)/COCO-pretrain get P@{1,5,10} and
+    the class-agnostic COCO box mAP. ytvos/davis/mevis are server-scored
+    mask dumps — use tce_rvos_tpu.infer for those (as the reference uses
+    inference_*.py)."""
+    from tce_rvos_tpu.data.loader import PrefetchLoader, ShardedSampler
+    from tce_rvos_tpu.data.registry import build_dataset, collate_batch
+    from tce_rvos_tpu.engine import evaluate_a2d, evaluate_coco_pretrain
+
+    if args.resume:
+        from tce_rvos_tpu.utils.native_ckpt import load_checkpoint
+
+        variables, _, _ = load_checkpoint(args.resume, variables)
+    if model_cfg.compute_dtype != "float32":
+        from tce_rvos_tpu.utils.precision import cast_floating, resolve_dtype
+
+        variables = cast_floating(variables, model_cfg.compute_dtype)
+        in_dtype = resolve_dtype(model_cfg.compute_dtype)
+    else:
+        in_dtype = None
+
+    dataset_val = build_dataset(args.dataset_file, "val", data_cfg, model_cfg)
+    sampler = ShardedSampler(len(dataset_val), shuffle=False)
+    loader = PrefetchLoader(
+        dataset_val, sampler, args.batch_size, collate_batch,
+        num_workers=args.num_workers,
+    )
+
+    @jax.jit
+    def fwd(v, **kw):
+        if in_dtype is not None:
+            kw["video"] = kw["video"].astype(in_dtype)
+        return model.apply(v, **kw)
+
+    if args.dataset_file in ("a2d", "jhmdb"):
+        return evaluate_a2d(fwd, variables, iter(loader), args.threshold)
+    if args.dataset_file in ("refcoco", "refcoco+", "refcocog"):
+        return evaluate_coco_pretrain(
+            fwd, variables, iter(loader),
+            dataset_val.gt_boxes_by_image(),
+            dataset_val.coco_gt_by_image(),
+        )
+    raise ValueError(
+        f"--eval has no metric protocol for {args.dataset_file!r}; "
+        "use `python -m tce_rvos_tpu.infer` (ytvos/davis/mevis dump masks)"
+    )
+
+
 def main(argv=None):
     from tce_rvos_tpu.cli import (
         data_config_from_args,
@@ -75,6 +124,16 @@ def main(argv=None):
         sd = load_torch_file(args.pretrained_weights)
         sd = drop_class_heads(sd, model_cfg.dec_layers)
         variables, missing, unexpected = convert_state_dict(sd, variables)
+
+    # ---- eval-only mode (reference main.py:150-176) ----
+    if args.eval:
+        stats = run_eval(args, model_cfg, data_cfg, model, variables)
+        print(json.dumps(stats, default=float))
+        if args.output_dir and jax.process_index() == 0:
+            os.makedirs(args.output_dir, exist_ok=True)
+            with open(os.path.join(args.output_dir, "log.txt"), "a") as fh:
+                fh.write(json.dumps(stats, default=float) + "\n")
+        return stats
 
     # ---- data ----
     dataset_train = build_dataset(args.dataset_file, "train", data_cfg, model_cfg)
