@@ -3,7 +3,7 @@
 TPU-first design — NOT a port of the CUDA im2col kernel
 (reference models/ops/src/cuda/ms_deform_im2col_cuda.cuh): the TPU has no
 fast arbitrary gather, but it has a 128x128 systolic array. We therefore
-express the zero-padded bilinear tap as two *dense separable interpolation
+express the zero-padded bilinear tap as dense *separable interpolation
 contractions*:
 
     tap(q) = sum_y sum_x  Wy[q, y] * Wx[q, x] * V[y, x, :]
@@ -13,25 +13,35 @@ contractions*:
 grid_sample's zero padding exactly — taps sliding off the border lose
 weight). The x-contraction becomes an MXU matmul
 
-    S1[BQ*P, H*D] = Wx[BQ*P, W] @ V_t[W, H*D]
+    S1[P*BQ, D*H] = Wx[P*BQ, W] @ V_t[W, D*H]
 
-with the level's value tile pre-transposed to [W, H*D] (one cheap XLA
-transpose per call), and the y-contraction is a small VPU weighted
-reduction. Per grid cell (batch n, head m, query block) everything lives in
+with the level's value tile pre-transposed to [W, D*H] (d-major lanes), the
+y-weights are built NARROW ([P*BQ, H]) and expanded by pltpu.repeat (a lane
+tile copy), and the y-reduction is a fold matmul against an exact 0/1
+matrix. Per grid cell (batch n, head m, query block) everything lives in
 VMEM; no HBM gather traffic at all.
 
 Two variants, dispatched by level size:
-  * separable (large levels): x-contraction on the MXU, y-contraction as a
-    tiled-repeat elementwise + binary fold matmul (d-major lane layout —
-    Mosaic cannot reshape lanes, and pltpu.repeat tiles);
-  * flat (H*W <= 1024): the full 2D interpolation row is built from iota
-    arithmetic and taps taken by one [P*BQ, H*W] @ [H*W, D] matmul — tiny
-    lane vectors relayout poorly under the separable form.
-All query-side pads/transposes are hoisted to one pass per op call.
+  * separable (levels above FLAT_LEVEL_MAX_PIXELS pixels): as above;
+  * flat (small levels): the full 2D interpolation row [BQ, H*W] is built
+    from one narrow x-factor (pltpu.repeat-tiled) times an iota-derived
+    y-factor, and taps taken by one [BQ, H*W] @ [H*W, D] matmul.
 
-Measured on v5e (Q=5120, 4 levels of a 384x640 frame, N=5, M=8):
-13 ms/call vs 144 ms for the XLA gather path; whole flagship model
-1.8 -> 10.7 clips/s.
+Round-2 device-profile-driven choices (BASELINE.md):
+  * ATTN-WEIGHTED POINT PRE-SUM: both kernels' final matmuls are linear in
+    the interpolation weights, so the P sampling points are summed BEFORE
+    the matmul (attn folded into the narrow x-factor). The fold matmul's
+    N=D=32 lanes waste 3/4 of each MXU pass — pre-summing cuts its rows
+    (and the flat kernel's tap-matmul rows) P-fold. Measured: level-0
+    kernel 3.9 -> ~2.3 ms, flat levels ~0.85 -> ~0.45 ms.
+  * level 1 (960 px) runs separable, not flat: the flat [BQ, 960] weight
+    build is VPU-bound (measured 2.0 ms; separable ~1.1 ms).
+  * one fused all-levels kernel was tried and REJECTED: 10.3 ms on-device
+    vs 7.6 for per-level calls (register pressure / pipelining).
+
+All query-side pads/transposes are hoisted to one pass per op call; the
+XLA-side value relayouts cost ~1 ms/call total (profiled), not worth a
+kernel.
 
 Forward-only; the backward pass uses the XLA fallback (ops/msda.py) through
 ``jax.custom_vjp`` — inference is the hot path (BASELINE.md north star).
@@ -49,12 +59,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tce_rvos_tpu.ops.msda import SpatialShapes, level_splits, ms_deform_attn
 
-DEFAULT_BQ = 256  # queries per block
+DEFAULT_BQ = 512   # queries per block (separable)
+FLAT_BQ = 512      # queries per block (flat)
+FLAT_LEVEL_MAX_PIXELS = 1024  # levels at or below use the flat kernel
 
 
 def _msda_level_kernel(
-    loc_ref,   # [1, 1, P*2, BQ]  (Q-minor: sublane index = pi*2 + {x,y})
-    attn_ref,  # [1, 1, P, BQ]
+    loc_ref,   # [1, 1, L*P*2, BQ]  (Q-minor; ALL levels' rows)
+    attn_ref,  # [1, 1, L*P, BQ]
     v_ref,     # [1, 1, W, D*H]  (rows = x, lanes = d-major (d*H + y))
     out_ref,   # [1, 1, BQ, D]
     *,
@@ -63,9 +75,9 @@ def _msda_level_kernel(
     d: int,
     p: int,
     bq: int,
+    lvl: int,
 ):
     xs = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (bq, h), 1).astype(jnp.float32)
     # binary fold matrix G[c*H + y, c'] = (c == c'): the y-reduction of a
     # d-major lane vector becomes one matmul (no lane reshapes, which Mosaic
     # does not support). d-major because pltpu.repeat TILES its input:
@@ -81,15 +93,18 @@ def _msda_level_kernel(
     attn_t = jnp.transpose(attn_ref[0, 0])
 
     def col(which, row):
-        src = loc_t if which == "loc" else attn_t
-        return src[:, row : row + 1]
+        if which == "loc":
+            return loc_t[:, lvl * p * 2 + row : lvl * p * 2 + row + 1]
+        return attn_t[:, lvl * p + row : lvl * p + row + 1]
 
-    # stack the P points along sublanes -> ONE MXU matmul
+    # stack the P points along sublanes -> ONE MXU matmul; attn is folded
+    # into the narrow x-factor (everything downstream is linear in it)
     wx_all = jnp.concatenate(
         [
             jnp.maximum(
                 0.0, 1.0 - jnp.abs(xs - (col("loc", 2 * pi) * w - 0.5))
             )
+            * col("attn", pi)
             for pi in range(p)
         ],
         axis=0,
@@ -98,113 +113,126 @@ def _msda_level_kernel(
         wx_all.astype(jnp.bfloat16), v_t.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ).astype(jnp.bfloat16)  # f32 accum (Mosaic requirement), bf16 elementwise
+    # wide d-major y-factor built directly from iota (lane % H -> y);
+    # pltpu.repeat of the narrow [*, H] factor is slower here — tiling a
+    # non-128-multiple lane width is all lane rotations
+    ys_wide = (
+        jax.lax.broadcasted_iota(jnp.int32, (bq, h * d), 1) % h
+    ).astype(jnp.float32)
     wy_all = jnp.concatenate(
         [
             jnp.maximum(
-                0.0, 1.0 - jnp.abs(ys - (col("loc", 2 * pi + 1) * h - 0.5))
+                0.0, 1.0 - jnp.abs(ys_wide - (col("loc", 2 * pi + 1) * h - 0.5))
             )
             for pi in range(p)
         ],
         axis=0,
-    )  # [P*BQ, H]
-    wyf = pltpu.repeat(wy_all.astype(jnp.bfloat16), d, axis=1)  # [P*BQ, D*H]
-    s2 = s1 * wyf
-    s3 = jnp.dot(s2, fold, preferred_element_type=jnp.float32)
-    acc = jnp.zeros((bq, d), jnp.float32)
-    for pi in range(p):
-        acc = acc + col("attn", pi) * s3[pi * bq : (pi + 1) * bq]
-    out_ref[0, 0] = acc.astype(out_ref.dtype)
+    ).astype(jnp.bfloat16)  # [P*BQ, D*H]
+    s2 = s1 * wy_all
+    # the fold is LINEAR: sum the attn-weighted points FIRST, shrinking the
+    # N=D-narrow fold matmul's rows P-fold (device profile: the [P*BQ, D*H]
+    # fold was ~40% of this kernel)
+    s2w = s2[:bq]
+    for pi in range(1, p):
+        s2w = s2w + s2[pi * bq : (pi + 1) * bq]
+    out_ref[0, 0] = jnp.dot(
+        s2w, fold, preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
 
 
-def _msda_level_kernel_flat(
-    loc_ref,   # [1, 1, P*2, BQ]  (Q-minor)
-    attn_ref,  # [1, 1, P, BQ]
-    v_ref,     # [1, 1, HW, D]  (flat row-major pixels)
+def _msda_multilevel_kernel_flat(
+    loc_ref,   # [1, 1, L*P*2, BQ]  (Q-minor; ALL levels' rows)
+    attn_ref,  # [1, 1, L*P, BQ]
+    v_ref,     # [1, 1, sum HW_l, D]  (flat row-major pixels, levels stacked)
     out_ref,   # [1, 1, BQ, D]
     *,
-    h: int,
-    w: int,
+    shapes: SpatialShapes,       # the flat levels' (H, W)
+    lvl_idx: Tuple[int, ...],    # their level indices into loc/attn rows
     d: int,
     p: int,
     bq: int,
 ):
-    """Small-level variant: build the full 2D interpolation matrix
-    W2d[r, y*W+x] = relu(1-|y-py|)*relu(1-|x-px|) directly from iota
-    arithmetic (no fold matmul, no repeat — those relayout poorly at tiny
-    lane counts) and take the taps with one [P*BQ, H*W] @ [H*W, D] matmul."""
-    v = v_ref[0, 0].astype(jnp.bfloat16)  # [HW, D]
+    """All small levels in ONE kernel: build each level's 2D interpolation
+    rows W2d[q, y*W+x] = relu(1-|y-py|)*relu(1-|x-px|)*attn from iota
+    arithmetic (pltpu.repeat-tiled narrow factors were tried and are 3x
+    SLOWER — tiling a non-128-multiple lane width is all lane rotations),
+    concat along lanes, and take every level's taps with ONE
+    [BQ, sum HW] @ [sum HW, D] matmul, P points pre-summed (linearity).
+    Merging levels matters because each grid cell costs ~2 us fixed
+    (device-profiled: the 60-pixel level measured 0.82 ms for ~0.1 ms of
+    work across 400 cells)."""
+    v = v_ref[0, 0].astype(jnp.bfloat16)  # [sum HW, D]
 
     loc_t = jnp.transpose(loc_ref[0, 0])
     attn_t = jnp.transpose(attn_ref[0, 0])
 
-    def col(which, row):
-        src = loc_t if which == "loc" else attn_t
-        return src[:, row : row + 1]
+    segs = []
+    for (h, w), lvl in zip(shapes, lvl_idx):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bq, h * w), 1)
+        lane_y = (lane // w).astype(jnp.float32)
+        lane_x = (lane % w).astype(jnp.float32)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bq, h * w), 1)
-    lane_y = (lane // w).astype(jnp.float32)
-    lane_x = (lane % w).astype(jnp.float32)
+        def col(src, row):
+            return src[:, row : row + 1]
 
-    w2d = jnp.concatenate(
-        [
-            (
-                jnp.maximum(
-                    0.0, 1.0 - jnp.abs(lane_x - (col("loc", 2 * pi) * w - 0.5))
-                )
-                * jnp.maximum(
-                    0.0, 1.0 - jnp.abs(lane_y - (col("loc", 2 * pi + 1) * h - 0.5))
-                )
-                * col("attn", pi)
+        seg = sum(
+            jnp.maximum(
+                0.0,
+                1.0
+                - jnp.abs(
+                    lane_x - (col(loc_t, lvl * p * 2 + 2 * pi) * w - 0.5)
+                ),
             )
+            * jnp.maximum(
+                0.0,
+                1.0
+                - jnp.abs(
+                    lane_y - (col(loc_t, lvl * p * 2 + 2 * pi + 1) * h - 0.5)
+                ),
+            )
+            * col(attn_t, lvl * p + pi)
             for pi in range(p)
-        ],
-        axis=0,
-    ).astype(jnp.bfloat16)  # [P*BQ, HW] (attention folded in)
+        )
+        segs.append(seg)
+    w2d = jnp.concatenate(segs, axis=1).astype(jnp.bfloat16)  # [BQ, sum HW]
 
-    taps = jnp.dot(w2d, v, preferred_element_type=jnp.float32)  # [P*BQ, D]
-    acc = taps[0 * bq : 1 * bq]
-    for pi in range(1, p):
-        acc = acc + taps[pi * bq : (pi + 1) * bq]
-    out_ref[0, 0] = acc.astype(out_ref.dtype)
+    out_ref[0, 0] = jnp.dot(
+        w2d, v, preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
 
 
-FLAT_LEVEL_MAX_PIXELS = 1024  # levels at or below use the flat kernel
-
-
-def _msda_level_pallas(
-    value_t: jnp.ndarray,   # [N, M, W, D*H] (separable) or [N, M, HW, D] (flat)
-    loc_t: jnp.ndarray,     # [N, M, P*2, Qp] (Q-minor)
-    attn_t: jnp.ndarray,    # [N, M, P, Qp]
+def _msda_sep_level_pallas(
+    value_t: jnp.ndarray,   # [N, M, W, D*H] (d-major lanes)
+    loc_t: jnp.ndarray,     # [N, M, L*P*2, Qp] (Q-minor, ALL levels' rows)
+    attn_t: jnp.ndarray,    # [N, M, L*P, Qp]
+    lvl: int,
     h: int,
     w: int,
+    p: int,
     block_q: int = DEFAULT_BQ,
-    flat: bool = False,
 ) -> jnp.ndarray:
-    n, m, p2, qp = loc_t.shape
-    p = p2 // 2
-    d = value_t.shape[-1] if flat else value_t.shape[-1] // h
+    n, m, _, qp = loc_t.shape
+    d = value_t.shape[-1] // h
     grid = (n, m, qp // block_q)
 
-    loc_spec = pl.BlockSpec(
-        (1, 1, p2, block_q),
-        lambda ni, mi, qi: (ni, mi, 0, qi),
-        memory_space=pltpu.VMEM,
-    )
-    attn_spec = pl.BlockSpec(
-        (1, 1, p, block_q),
-        lambda ni, mi, qi: (ni, mi, 0, qi),
-        memory_space=pltpu.VMEM,
-    )
-    kernel = _msda_level_kernel_flat if flat else _msda_level_kernel
-    v_block = (1, 1, h * w, d) if flat else (1, 1, w, d * h)
     out = pl.pallas_call(
-        functools.partial(kernel, h=h, w=w, d=d, p=p, bq=block_q),
+        functools.partial(
+            _msda_level_kernel, h=h, w=w, d=d, p=p, bq=block_q, lvl=lvl
+        ),
         grid=grid,
         in_specs=[
-            loc_spec,
-            attn_spec,
             pl.BlockSpec(
-                v_block,
+                (1, 1, loc_t.shape[2], block_q),
+                lambda ni, mi, qi: (ni, mi, 0, qi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, attn_t.shape[2], block_q),
+                lambda ni, mi, qi: (ni, mi, 0, qi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, w, d * h),
                 lambda ni, mi, qi: (ni, mi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -215,6 +243,9 @@ def _msda_level_pallas(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, m, qp, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * m * qp * p * w * h * d,
             bytes_accessed=n * m * w * h * d * 4 + n * qp * m * p * 3 * 4,
@@ -222,6 +253,117 @@ def _msda_level_pallas(
         ),
     )(loc_t, attn_t, value_t)
     return out  # [N, M, Qp, D]
+
+
+def _msda_flat_levels_pallas(
+    value_t: jnp.ndarray,   # [N, M, sum HW, D] (flat levels stacked)
+    loc_t: jnp.ndarray,     # [N, M, L*P*2, Qp]
+    attn_t: jnp.ndarray,    # [N, M, L*P, Qp]
+    shapes: SpatialShapes,  # the flat levels' (H, W)
+    lvl_idx: Tuple[int, ...],
+    p: int,
+    block_q: int = FLAT_BQ,
+) -> jnp.ndarray:
+    n, m, _, qp = loc_t.shape
+    d = value_t.shape[-1]
+    sum_hw = value_t.shape[2]
+    grid = (n, m, qp // block_q)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _msda_multilevel_kernel_flat,
+            shapes=shapes, lvl_idx=lvl_idx, d=d, p=p, bq=block_q,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, loc_t.shape[2], block_q),
+                lambda ni, mi, qi: (ni, mi, 0, qi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, attn_t.shape[2], block_q),
+                lambda ni, mi, qi: (ni, mi, 0, qi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, sum_hw, d),
+                lambda ni, mi, qi: (ni, mi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d),
+            lambda ni, mi, qi: (ni, mi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, m, qp, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * qp * p * sum_hw * d,
+            bytes_accessed=n * m * sum_hw * d * 4 + n * qp * m * p * 3 * 4,
+            transcendentals=0,
+        ),
+    )(loc_t, attn_t, value_t)
+    return out  # [N, M, Qp, D]
+
+
+def _forward_from_hm(value_hm, spatial_shapes, loc, attn, out_dtype):
+    """Shared forward given head-major value [N, M, S, D] (bf16)."""
+    n, m, s, d = value_hm.shape
+    q = loc.shape[1]
+    starts = level_splits(spatial_shapes)
+    nlvl = len(spatial_shapes)
+    p = loc.shape[4]
+    # ONE pad + clean 2D transpose to Q-minor layouts (strided 6D permutes
+    # are ~10x off bandwidth on TPU); per-level slices are then free.
+    # Tiny query sets (decoder cross-attn Q=5, FTF tokens Q=8) use a 128
+    # block so they don't burn 4x their work interpolating pad queries.
+    if q <= 128:
+        sep_bq = flat_bq = 128
+    else:
+        sep_bq, flat_bq = DEFAULT_BQ, FLAT_BQ
+    pad = (-q) % max(sep_bq, flat_bq)
+    qp = q + pad
+    loc_qmin = jnp.pad(
+        loc.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
+    ).transpose(0, 2, 1).reshape(n, m, nlvl * p * 2, qp)
+    attn_qmin = jnp.pad(
+        attn.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
+    ).transpose(0, 2, 1).reshape(n, m, nlvl * p, qp)
+
+    sep_lvls = [
+        lvl for lvl, (h, w) in enumerate(spatial_shapes)
+        if h * w > FLAT_LEVEL_MAX_PIXELS
+    ]
+    flat_lvls = [
+        lvl for lvl in range(nlvl) if lvl not in sep_lvls
+    ]
+    out = jnp.zeros((n, m, qp, d), dtype=jnp.float32)
+    for lvl in sep_lvls:
+        h, w = spatial_shapes[lvl]
+        v_t = (
+            value_hm[:, :, starts[lvl] : starts[lvl + 1]]
+            .reshape(n, m, h, w, d)
+            .transpose(0, 1, 3, 4, 2)                     # [N, M, W, D, H]
+            .reshape(n, m, w, d * h)                      # d-major lanes
+        )
+        out = out + _msda_sep_level_pallas(
+            v_t, loc_qmin, attn_qmin, lvl, h, w, p, block_q=sep_bq
+        )
+    if flat_lvls:
+        # flat levels are always a contiguous tail (levels shrink 2x each)
+        assert flat_lvls == list(range(flat_lvls[0], nlvl)), flat_lvls
+        v_t = value_hm[:, :, starts[flat_lvls[0]] : starts[nlvl]]
+        out = out + _msda_flat_levels_pallas(
+            v_t, loc_qmin, attn_qmin,
+            tuple(spatial_shapes[lvl] for lvl in flat_lvls),
+            tuple(flat_lvls), p, block_q=flat_bq,
+        )
+    out = out.transpose(0, 2, 1, 3)[:, :q]                    # [N, Q, M, D]
+    return out.reshape(n, q, m * d).astype(out_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -232,51 +374,15 @@ def ms_deform_attn_pallas(
     attention_weights: jnp.ndarray,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.msda.ms_deform_attn (same signature,
-    same semantics), forward on the Pallas kernel."""
+    same semantics), forward on the Pallas kernel. value: [N, S, M, D]."""
     return _forward(value, spatial_shapes, sampling_locations, attention_weights)
 
 
 def _forward(value, spatial_shapes, loc, attn):
-    n, s, m, d = value.shape
-    q = loc.shape[1]
-    starts = level_splits(spatial_shapes)
-    # ONE head-major transpose + bf16 cast for the whole pyramid; per-level
-    # slices of it are then free (contiguous S ranges). Only levels on the
-    # separable path need their own (W, D*H) relayout.
+    # ONE head-major transpose + bf16 cast for the whole pyramid (profiled
+    # at well under 1 ms — round-1's "6 ms relayout" anatomy was wrong)
     value_hm = value.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # [N, M, S, D]
-    # ONE pad + clean 2D transpose to Q-minor layouts (strided 6D permutes
-    # are ~10x off bandwidth on TPU); per-level slices are then free
-    nlvl = len(spatial_shapes)
-    p = loc.shape[4]
-    # pad base 512 = lcm of the separable (256) and flat (512) block sizes
-    pad = (-q) % 512
-    qp = q + pad
-    loc_flat = jnp.pad(
-        loc.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
-    ).transpose(0, 2, 1)                                      # [N, M*L*P*2, Qp]
-    loc_qmin = loc_flat.reshape(n, m, nlvl, p * 2, qp)
-    attn_flat = jnp.pad(
-        attn.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
-    ).transpose(0, 2, 1)                                      # [N, M*L*P, Qp]
-    attn_qmin = attn_flat.reshape(n, m, nlvl, p, qp)
-    out = jnp.zeros((n, m, qp, d), dtype=jnp.float32)
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        flat = h * w <= FLAT_LEVEL_MAX_PIXELS
-        if flat:
-            v_t = value_hm[:, :, starts[lvl] : starts[lvl + 1]]  # [N, M, HW, D]
-        else:
-            v_t = (
-                value_hm[:, :, starts[lvl] : starts[lvl + 1]]
-                .reshape(n, m, h, w, d)
-                .transpose(0, 1, 3, 4, 2)                     # [N, M, W, D, H]
-                .reshape(n, m, w, d * h)                      # d-major lanes
-            )
-        out = out + _msda_level_pallas(
-            v_t, loc_qmin[:, :, lvl], attn_qmin[:, :, lvl], h, w,
-            block_q=512 if flat else DEFAULT_BQ, flat=flat,
-        )
-    out = out.transpose(0, 2, 1, 3)[:, :q]                    # [N, Q, M, D]
-    return out.reshape(n, q, m * d).astype(value.dtype)
+    return _forward_from_hm(value_hm, spatial_shapes, loc, attn, value.dtype)
 
 
 def _fwd(value, spatial_shapes, loc, attn):
@@ -292,3 +398,43 @@ def _bwd(spatial_shapes, res, g):
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_pallas_hm(
+    value_hm: jnp.ndarray,
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Head-major variant: ``value_hm`` is [M, N, S, D] (as produced by a
+    per-head batched projection, e.g. einsum('nsc,mcd->mnsd')). Semantics
+    identical to ``ms_deform_attn_pallas(value_hm.transpose(1,2,0,3), ...)``
+    without the [N,S,M,D] -> [N,M,S,D] transpose."""
+    return _forward_hm(value_hm, spatial_shapes, sampling_locations, attention_weights)
+
+
+def _forward_hm(value_hm, spatial_shapes, loc, attn):
+    out_dtype = value_hm.dtype
+    value_nm = value_hm.transpose(1, 0, 2, 3).astype(jnp.bfloat16)  # [N, M, S, D]
+    return _forward_from_hm(value_nm, spatial_shapes, loc, attn, out_dtype)
+
+
+def _fwd_hm(value_hm, spatial_shapes, loc, attn):
+    return _forward_hm(value_hm, spatial_shapes, loc, attn), (value_hm, loc, attn)
+
+
+def _bwd_hm(spatial_shapes, res, g):
+    value_hm, loc, attn = res
+    _, vjp = jax.vjp(
+        lambda v, l, a: ms_deform_attn(
+            v.transpose(1, 2, 0, 3), spatial_shapes, l, a
+        ),
+        value_hm,
+        loc,
+        attn,
+    )
+    return vjp(g)
+
+
+ms_deform_attn_pallas_hm.defvjp(_fwd_hm, _bwd_hm)
