@@ -135,6 +135,12 @@ class A2DSentencesDataset:
                 "size": np.asarray([h, w], np.int64),
                 "image_id": f"v_{video_id}_f_{frame_idx}_i_{instance_id}",
             }
+            if self.subset != "train":
+                # untransformed GT for eval: the evaluator must score at the
+                # ORIGINAL resolution (reference engine.py:332-345 reads GT
+                # from the annotation json), while target['masks'] goes
+                # through the val resize
+                target["orig_masks"] = mask[None].copy()
             if self._transforms is not None:
                 imgs, target = self._transforms(imgs, target)
             if np.any(target["valid"] == 1) or self.subset == "val":
@@ -197,6 +203,7 @@ class JHMDBSentencesDataset:
             "orig_size": np.asarray([h, w], np.int64),
             "size": np.asarray([h, w], np.int64),
             "image_id": f"v_{video_id}_f_{chosen_frame_idx}",
+            "orig_masks": mask[None].copy(),  # untransformed GT for eval
         }
         if self._transforms is not None:
             imgs, target = self._transforms(imgs, target)

@@ -116,4 +116,8 @@ def collate_batch(
         out["orig_sizes"] = np.stack([t_["orig_size"] for t_ in targets]).astype(np.int32)
     if "image_id" in targets[0]:
         out["image_ids"] = [t_["image_id"] for t_ in targets]
+    if "orig_masks" in targets[0]:
+        # host-side ragged list (original resolutions differ per sample);
+        # eval-only — never shipped to device
+        out["orig_masks"] = [t_["orig_masks"] for t_ in targets]
     return out

@@ -179,17 +179,30 @@ def evaluate_a2d(
         )
         for i, p in enumerate(preds):
             image_id = batch["image_ids"][i]
+            # GT at ORIGINAL resolution (loader's untransformed 'orig_masks');
+            # predictions are resized to orig_size by the postprocessor, so
+            # encoding the val-transformed mask here would score two different
+            # scales against each other (reference engine.py:332-345 reads GT
+            # from the annotation json at original resolution)
             gt_by_image[image_id] = rle_util.encode(
-                (batch["targets"]["masks"][i, 0] > 0.5).astype(np.uint8)[
-                    : int(batch["orig_sizes"][i][0]), : int(batch["orig_sizes"][i][1])
-                ]
+                (batch["orig_masks"][i][0] > 0.5).astype(np.uint8)
             )
             for score, rle in zip(p["scores"], p["rle_masks"]):
                 predictions.append(
                     {"image_id": image_id, "score": float(score), "rle": rle}
                 )
 
-    # multi-host: merge shards (jax.process_count()==1 is a no-op)
+    # multi-host: every process evaluated its shard of the loader; merge the
+    # predictions and GT before scoring (single-process: identity)
+    if jax.process_count() > 1:
+        from tce_rvos_tpu.parallel.collectives import all_gather_objects
+
+        predictions = [p for shard in all_gather_objects(predictions) for p in shard]
+        merged_gt = {}
+        for shard in all_gather_objects(gt_by_image):
+            merged_gt.update(shard)
+        gt_by_image = merged_gt
+
     metrics = calculate_map(gt_by_image, predictions)
     p_at_k, overall_iou, mean_iou = calculate_precision_at_k_and_iou_metrics(
         gt_by_image, predictions

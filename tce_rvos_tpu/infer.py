@@ -68,7 +68,9 @@ def _pad_to(x: int, mult: int) -> int:
 
 
 class InferenceEngine:
-    """Jitted, shape-bucketed forward over padded clips."""
+    """Jitted, shape-bucketed forward over padded clips. ``device`` pins the
+    engine to one accelerator (the variables are committed there, so every
+    jitted call executes on it) — the unit of the video fan-out below."""
 
     def __init__(
         self,
@@ -78,6 +80,7 @@ class InferenceEngine:
         max_size: int = 640,
         pad_mult: int = 64,
         window: Optional[int] = None,
+        device=None,
     ):
         self.cfg = cfg
         self.model = build_model(cfg)
@@ -85,6 +88,9 @@ class InferenceEngine:
             from tce_rvos_tpu.utils.precision import cast_floating
 
             variables = cast_floating(variables, cfg.compute_dtype)
+        self.device = device
+        if device is not None:
+            variables = jax.device_put(variables, device)
         self.variables = variables
         self.size = size
         self.max_size = max_size
@@ -183,6 +189,64 @@ class InferenceEngine:
         }
 
 
+def make_engines(
+    cfg: ModelConfig,
+    variables,
+    num_devices: int = 0,
+    **engine_kw,
+) -> List[InferenceEngine]:
+    """One pinned engine per device — the TPU-native replacement for the
+    reference's mp.Process-per-GPU fan-out (inference_ytvos.py:88-113).
+    num_devices=0 uses every local device; 1 keeps the default device."""
+    devices = jax.local_devices()
+    if num_devices:
+        devices = devices[:num_devices]
+    if len(devices) == 1:
+        return [InferenceEngine(cfg, variables, **engine_kw)]
+    return [
+        InferenceEngine(cfg, variables, device=d, **engine_kw) for d in devices
+    ]
+
+
+def _fanout(engines: Sequence[InferenceEngine], jobs: Sequence, fn) -> None:
+    """Round-robin ``jobs`` over per-device engines. Threads suffice: each
+    worker keeps one in-flight dispatch on its own device; the host work
+    (decode, PNG encode) overlaps device compute across workers."""
+    if len(engines) == 1:
+        for job in jobs:
+            fn(engines[0], job)
+        return
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue()
+    for job in jobs:
+        q.put(job)
+    errors: List[BaseException] = []
+
+    def worker(engine):
+        while not errors:
+            try:
+                job = q.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                fn(engine, job)
+            except BaseException as e:  # surface in the caller
+                errors.append(e)
+                return
+
+    threads = [
+        threading.Thread(target=worker, args=(e,), daemon=True) for e in engines
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+
+
 def select_query(pred_logits: np.ndarray) -> int:
     """One query for the whole video: sigmoid -> mean over frames -> max
     over classes -> argmax over queries (inference_ytvos.py:302-308)."""
@@ -192,7 +256,7 @@ def select_query(pred_logits: np.ndarray) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_upsample(h4: int, w4: int, oh: int, ow: int):
+def _jitted_upsample(h4: int, w4: int, oh: int, ow: int, device):
     from tce_rvos_tpu.utils.interpolate import resize_bilinear
 
     @jax.jit
@@ -204,15 +268,22 @@ def _jitted_upsample(h4: int, w4: int, oh: int, ow: int):
 
 
 def masks_to_original(
-    mask_logits: np.ndarray, model_size: Tuple[int, int], orig_size: Tuple[int, int]
+    mask_logits: np.ndarray,
+    model_size: Tuple[int, int],
+    orig_size: Tuple[int, int],
+    device=None,
 ) -> np.ndarray:
     """[T, h, w] stride-4 logits -> sigmoid scores at the original
     resolution (bilinear, align_corners=False), matching
-    inference_ytvos.py:311-312. Jitted per shape (no eager dispatch)."""
+    inference_ytvos.py:311-312. Jitted per shape (no eager dispatch);
+    ``device`` keeps the upsample on the fan-out worker's own chip."""
     mh, mw = model_size
     h4, w4 = -(-mh // 4), -(-mw // 4)
     oh, ow = int(orig_size[0]), int(orig_size[1])
-    return np.asarray(_jitted_upsample(h4, w4, oh, ow)(mask_logits))
+    x = mask_logits if device is None else jax.device_put(
+        np.asarray(mask_logits), device
+    )
+    return np.asarray(_jitted_upsample(h4, w4, oh, ow, device)(x))
 
 
 # ---------------------------------------------------------------------------
@@ -234,8 +305,12 @@ def ytvos_video_list(ytvos_path: str, split: str = "valid") -> Tuple[List[str], 
     return videos, data
 
 
+def _as_engines(engine) -> List[InferenceEngine]:
+    return [engine] if isinstance(engine, InferenceEngine) else list(engine)
+
+
 def run_ytvos(
-    engine: InferenceEngine,
+    engine,
     ytvos_path: str,
     output_dir: str,
     split: str = "valid",
@@ -246,17 +321,21 @@ def run_ytvos(
 ):
     """Write per-frame binary PNGs to <out>/<split>/<video>/<exp_id>/.
     ``whole_video`` defaults True (the reference's default protocol); set
-    False for the keep_fps windowed protocol."""
+    False for the keep_fps windowed protocol. ``engine`` may be a single
+    InferenceEngine or a list from ``make_engines`` — videos round-robin
+    over the per-device engines (reference inference_ytvos.py:88-113)."""
     from PIL import Image
 
+    engines = _as_engines(engine)
     video_list, data = ytvos_video_list(ytvos_path, split)
     if videos is not None:
         video_list = [v for v in video_list if v in set(videos)]
     img_root = os.path.join(ytvos_path, split, "JPEGImages")
     save_root = os.path.join(output_dir, split)
     t0 = time.time()
-    n_frames = 0
-    for video in video_list:
+    n_frames = [0]
+
+    def one_video(eng, video):
         frames_names = data[video]["frames"]
         frames = [
             _load_frame(os.path.join(img_root, video, f + ".jpg"))
@@ -264,19 +343,22 @@ def run_ytvos(
         ]
         orig_h, orig_w = frames[0].shape[:2]
         for exp_id, exp_dict in data[video]["expressions"].items():
-            out = engine.run_video(frames, " ".join(exp_dict["exp"].lower().split()),
-                                   f_extra=f_extra, whole_video=whole_video)
+            out = eng.run_video(frames, " ".join(exp_dict["exp"].lower().split()),
+                                f_extra=f_extra, whole_video=whole_video)
             q = select_query(out["pred_logits"])
             scores = masks_to_original(
-                out["pred_masks"][:, q], out["model_size"], (orig_h, orig_w)
+                out["pred_masks"][:, q], out["model_size"], (orig_h, orig_w),
+                device=eng.device,
             )
             save_dir = os.path.join(save_root, video, exp_id)
             os.makedirs(save_dir, exist_ok=True)
             for i, name in enumerate(frames_names):
                 m = (scores[i] > threshold).astype(np.uint8) * 255
                 Image.fromarray(m).save(os.path.join(save_dir, name + ".png"))
-            n_frames += len(frames_names)
-    print(f"Total inference time: {time.time() - t0:.4f} s ({n_frames} frames)")
+            n_frames[0] += len(frames_names)
+
+    _fanout(engines, video_list, one_video)
+    print(f"Total inference time: {time.time() - t0:.4f} s ({n_frames[0]} frames)")
 
 
 def run_davis(
@@ -295,11 +377,13 @@ def run_davis(
     meta_file = os.path.join(davis_path, "meta_expressions", split, "meta_expressions.json")
     with open(meta_file) as fh:
         data = json.load(fh)["videos"]
+    engines = _as_engines(engine)
     video_list = sorted(data.keys()) if videos is None else sorted(videos)
     img_root = os.path.join(davis_path, split, "JPEGImages")
     palette = davis_palette()
     t0 = time.time()
-    for video in video_list:
+
+    def one_video(eng, video):
         frames_names = data[video]["frames"]
         frames = [
             _load_frame(os.path.join(img_root, video, f + ".jpg"))
@@ -314,10 +398,11 @@ def run_davis(
             for obj_id in range(num_obj):
                 eid = exp_ids[obj_id * 4 + anno_id]
                 exp = " ".join(expressions[eid]["exp"].lower().split())
-                out = engine.run_video(frames, exp)
+                out = eng.run_video(frames, exp)
                 q = select_query(out["pred_logits"])
                 scores = masks_to_original(
-                    out["pred_masks"][:, q], out["model_size"], (orig_h, orig_w)
+                    out["pred_masks"][:, q], out["model_size"], (orig_h, orig_w),
+                    device=eng.device,
                 )
                 obj_scores.append(scores)
             anno = np.stack(obj_scores)  # [num_obj, T, H, W]
@@ -330,6 +415,8 @@ def run_davis(
                 img = Image.fromarray(merged[i])
                 img.putpalette(palette)
                 img.save(os.path.join(save_dir, f"{i:05d}.png"))
+
+    _fanout(engines, video_list, one_video)
     print(f"Total inference time: {time.time() - t0:.4f} s")
 
 
@@ -348,10 +435,12 @@ def run_mevis(
     meta_file = os.path.join(mevis_path, split, "meta_expressions.json")
     with open(meta_file) as fh:
         data = json.load(fh)["videos"]
+    engines = _as_engines(engine)
     video_list = sorted(data.keys()) if videos is None else sorted(videos)
     img_root = os.path.join(mevis_path, split, "JPEGImages")
     t0 = time.time()
-    for video in video_list:
+
+    def one_video(eng, video):
         frames_names = data[video]["frames"]
         frames = [
             _load_frame(os.path.join(img_root, video, f + ".jpg"))
@@ -359,16 +448,19 @@ def run_mevis(
         ]
         orig_h, orig_w = frames[0].shape[:2]
         for exp_id, exp_dict in data[video]["expressions"].items():
-            out = engine.run_video(frames, " ".join(exp_dict["exp"].lower().split()))
+            out = eng.run_video(frames, " ".join(exp_dict["exp"].lower().split()))
             q = select_query(out["pred_logits"])
             scores = masks_to_original(
-                out["pred_masks"][:, q], out["model_size"], (orig_h, orig_w)
+                out["pred_masks"][:, q], out["model_size"], (orig_h, orig_w),
+                device=eng.device,
             )
             save_dir = os.path.join(output_dir, split, video, exp_id)
             os.makedirs(save_dir, exist_ok=True)
             for i, name in enumerate(frames_names):
                 m = (scores[i] > threshold).astype(np.uint8) * 255
                 Image.fromarray(m).save(os.path.join(save_dir, name + ".png"))
+
+    _fanout(engines, video_list, one_video)
     print(f"Total inference time: {time.time() - t0:.4f} s")
 
 
@@ -390,6 +482,8 @@ def main(argv=None):
     p.add_argument("--resume", default="")
     p.add_argument("--window", type=int, default=0,
                    help="frames per clip window (0 = num_frames; davis default 32)")
+    p.add_argument("--num_devices", "--ngpu", type=int, default=0, dest="num_devices",
+                   help="devices to fan videos out over (0 = all local)")
     args = p.parse_args(argv)
 
     cfg = model_config_from_args(args)
@@ -399,20 +493,22 @@ def main(argv=None):
     inputs = example_inputs(cfg, b=1, t=cfg.num_frames, hw=(64, 64))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
     if args.resume:
+        from tce_rvos_tpu.models.text_encoder import require_real_tokenizer
         from tce_rvos_tpu.utils.checkpoint import convert_state_dict, load_torch_file
 
+        require_real_tokenizer("--resume checkpoint")
         sd = load_torch_file(args.resume)
         variables, _, _ = convert_state_dict(sd, variables)
 
     window = args.window or (32 if args.dataset_file == "davis" else cfg.num_frames)
-    engine = InferenceEngine(cfg, variables, window=window)
+    engines = make_engines(cfg, variables, args.num_devices, window=window)
     if args.dataset_file == "ytvos":
-        run_ytvos(engine, args.ytvos_path, args.output_dir, args.split,
+        run_ytvos(engines, args.ytvos_path, args.output_dir, args.split,
                   args.threshold, cfg.f_extra)
     elif args.dataset_file == "davis":
-        run_davis(engine, args.davis_path, args.output_dir, args.split, args.threshold)
+        run_davis(engines, args.davis_path, args.output_dir, args.split, args.threshold)
     else:
-        run_mevis(engine, args.mevis_path, args.output_dir, args.split, args.threshold)
+        run_mevis(engines, args.mevis_path, args.output_dir, args.split, args.threshold)
 
 
 if __name__ == "__main__":

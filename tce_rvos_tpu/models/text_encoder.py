@@ -128,10 +128,37 @@ def _try_hf_tokenizer(name: str = "roberta-base"):
     try:
         from transformers import RobertaTokenizerFast
 
-        _HF_TOKENIZER = RobertaTokenizerFast.from_pretrained(name)
+        try:
+            # local cache first — the network path retries with exponential
+            # backoff for minutes on an air-gapped host (measured 215 s)
+            _HF_TOKENIZER = RobertaTokenizerFast.from_pretrained(
+                name, local_files_only=True
+            )
+        except Exception:
+            import os
+
+            if os.environ.get("HF_HUB_OFFLINE") or os.environ.get(
+                "TRANSFORMERS_OFFLINE"
+            ):
+                raise
+            _HF_TOKENIZER = RobertaTokenizerFast.from_pretrained(name)
     except Exception:
         _HF_TOKENIZER = None
     return _HF_TOKENIZER
+
+
+def require_real_tokenizer(context: str = "pretrained weights") -> None:
+    """Refuse to run with the hash-bucket fallback when real checkpoint
+    weights are in play: the fallback's token ids are NOT RoBERTa BPE ids,
+    so a pretrained text encoder would silently produce garbage embeddings
+    (and garbage masks). Raise loudly instead."""
+    if _try_hf_tokenizer() is None:
+        raise RuntimeError(
+            f"Loading {context} requires the real RoBERTa BPE tokenizer, but "
+            "only the hash-bucket fallback is available (transformers missing "
+            "or 'roberta-base' tokenizer files not downloadable/cached). "
+            "Install/cache the tokenizer before running with real weights."
+        )
 
 
 def tokenize(

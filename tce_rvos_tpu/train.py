@@ -36,8 +36,10 @@ def run_eval(args, model_cfg, data_cfg, model, variables):
     from tce_rvos_tpu.engine import evaluate_a2d, evaluate_coco_pretrain
 
     if args.resume:
+        from tce_rvos_tpu.models.text_encoder import require_real_tokenizer
         from tce_rvos_tpu.utils.native_ckpt import load_checkpoint
 
+        require_real_tokenizer("--resume checkpoint")
         variables, _, _ = load_checkpoint(args.resume, variables)
     if model_cfg.compute_dtype != "float32":
         from tce_rvos_tpu.utils.precision import cast_floating, resolve_dtype
@@ -115,12 +117,14 @@ def main(argv=None):
     print(f"number of params: {n_params}")
 
     if args.pretrained_weights:
+        from tce_rvos_tpu.models.text_encoder import require_real_tokenizer
         from tce_rvos_tpu.utils.checkpoint import (
             convert_state_dict,
             drop_class_heads,
             load_torch_file,
         )
 
+        require_real_tokenizer("--pretrained_weights")
         sd = load_torch_file(args.pretrained_weights)
         sd = drop_class_heads(sd, model_cfg.dec_layers)
         variables, missing, unexpected = convert_state_dict(sd, variables)

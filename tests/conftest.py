@@ -11,6 +11,11 @@ lazily at first backend initialisation, so setting it here is in time.
 
 import os
 
+# air-gapped sandbox: without this, the HF tokenizer load retries the hub
+# with exponential backoff for ~3.5 minutes before falling back
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

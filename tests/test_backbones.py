@@ -8,6 +8,9 @@ import jax
 import jax.numpy as jnp
 
 
+
+pytestmark = pytest.mark.slow  # full-model compiles: minutes on 1-core CPU
+
 def _check_pyramid(feats, n, h, w, channels):
     assert len(feats) == 4
     for i, (f, c) in enumerate(zip(feats, channels)):

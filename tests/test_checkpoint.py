@@ -20,6 +20,9 @@ from tce_rvos_tpu.utils.checkpoint import (
     flax_to_torch_key,
 )
 
+
+pytestmark = pytest.mark.slow  # full-model compiles: minutes on 1-core CPU
+
 TINY = dict(enc_layers=2, dec_layers=2, dim_feedforward=64, binary=True,
             text_encoder_layers=2, text_encoder_hidden=64,
             text_encoder_heads=4, text_encoder_intermediate=128)

@@ -13,6 +13,9 @@ from tce_rvos_tpu.models.criterion import (
 from tce_rvos_tpu.models.matcher import MatcherConfig, match
 
 
+
+pytestmark = pytest.mark.slow  # full-model compiles: minutes on 1-core CPU
+
 def _fake_outputs(b=2, t=3, q=4, k=1, h=8, w=8, seed=0):
     rng = np.random.RandomState(seed)
     return {

@@ -22,6 +22,9 @@ SMALL = dict(
 )
 
 
+
+pytestmark = pytest.mark.slow  # full-model compiles: minutes on 1-core CPU
+
 def _tiny_cfg(**kw):
     base = dict(SMALL)
     base.update(kw)

@@ -10,6 +10,9 @@ import jax.numpy as jnp
 from tce_rvos_tpu.utils.native_ckpt import OrbaxCheckpointManager
 
 
+
+pytestmark = pytest.mark.slow  # full-model compiles: minutes on 1-core CPU
+
 @pytest.fixture()
 def tree():
     k = jax.random.PRNGKey(0)

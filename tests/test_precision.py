@@ -17,6 +17,9 @@ from tce_rvos_tpu.models.build import build_model, example_inputs
 from tce_rvos_tpu.utils.precision import apply_compute_dtype, cast_floating
 
 
+
+pytestmark = pytest.mark.slow  # full-model compiles: minutes on 1-core CPU
+
 @pytest.fixture(scope="module")
 def setup():
     cfg = ModelConfig(

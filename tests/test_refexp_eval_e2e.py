@@ -18,6 +18,9 @@ from tce_rvos_tpu.engine import evaluate_coco_pretrain
 from tce_rvos_tpu.models.build import build_model
 
 
+
+pytestmark = pytest.mark.slow  # full-model compiles: minutes on 1-core CPU
+
 @pytest.fixture(scope="module")
 def coco_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("coco")

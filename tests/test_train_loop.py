@@ -10,6 +10,9 @@ import jax.numpy as jnp
 
 from tce_rvos_tpu.config import ModelConfig, TrainConfig
 
+
+pytestmark = pytest.mark.slow  # full-model compiles: minutes on 1-core CPU
+
 TINY = dict(
     enc_layers=1, dec_layers=2, dim_feedforward=32, binary=True,
     text_encoder_layers=1, text_encoder_hidden=32, text_encoder_heads=2,
