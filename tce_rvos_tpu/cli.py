@@ -106,6 +106,9 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--keep_fps", action="store_true")
     p.add_argument("--vid_aug", action="store_true")
     p.add_argument("--pretrain_enc", action="store_true")
+    p.add_argument("--cyclic_lr", action="store_true")
+    p.add_argument("--cyclic_lr_boundary", nargs=2, type=float,
+                   default=[1e-5, 1e-4])
     p.add_argument("--pretrain_coco", action="store_true")
     p.add_argument("--output_dir", default="output")
     p.add_argument("--resume", default="")

@@ -141,6 +141,15 @@ class TrainConfig:
     eos_coef: float = 0.1
     focal_alpha: float = 0.25
 
+    # --pretrain_enc: freeze everything except the deformable encoder
+    # (reference main.py:57-61)
+    pretrain_enc: bool = False
+    # CyclicLR for the keep_fps protocol (reference main.py:241-249;
+    # --cyclic_lr/--cyclic_lr_boundary are read by the reference's main.py
+    # but missing from its opts.py — defined here, like the f_extra fix)
+    cyclic_lr: bool = False
+    cyclic_lr_boundary: Tuple[float, float] = (1e-5, 1e-4)
+
     seed: int = 42
 
 

@@ -116,6 +116,7 @@ class InferenceEngine:
             "pred_masks": out["pred_masks"],
             "pred_boxes": out["pred_boxes"],
             "reference_points": out["reference_points"],
+            "inter_samples": out["inter_samples"],
         }
 
     def preprocess(self, frames: List[np.ndarray]):
@@ -164,7 +165,7 @@ class InferenceEngine:
             win = max(-(-t_total // 8) * 8, 8)
         text_ids, text_attn = tokenize([caption], max_len=24)
 
-        logits_all, masks_all, boxes_all = [], [], []
+        logits_all, masks_all, boxes_all, refs_all, samples_all = [], [], [], [], []
         for start in range(0, t_total, win):
             core = list(range(start, min(start + win, t_total)))
             n_core = len(core)
@@ -181,10 +182,15 @@ class InferenceEngine:
             logits_all.append(np.asarray(out["pred_logits"])[0, sl])
             masks_all.append(np.asarray(out["pred_masks"])[0, sl])
             boxes_all.append(np.asarray(out["pred_boxes"])[0, sl])
+            refs_all.append(np.asarray(out["reference_points"])[0, sl])
+            # [l, b*t, q, 30, 2] -> last decoder layer, this window's frames
+            samples_all.append(np.asarray(out["inter_samples"])[-1][sl])
         return {
             "pred_logits": np.concatenate(logits_all),  # [T, q, K]
             "pred_masks": np.concatenate(masks_all),    # [T, q, h, w]
             "pred_boxes": np.concatenate(boxes_all),    # [T, q, 4]
+            "reference_points": np.concatenate(refs_all),  # [T, q, 2]
+            "inter_samples": np.concatenate(samples_all),  # [T, q, 30, 2]
             "model_size": model_size,
         }
 
@@ -286,6 +292,44 @@ def masks_to_original(
     return np.asarray(_jitted_upsample(h4, w4, oh, ow, device)(x))
 
 
+def save_visualization(
+    frames: List[np.ndarray],       # raw RGB floats in [0, 1], original size
+    frame_names: Sequence[str],
+    scores: np.ndarray,             # [T, H, W] sigmoid mask scores
+    boxes: np.ndarray,              # [T, 4] normalized cxcywh
+    ref_points: np.ndarray,         # [T, 2] normalized (x, y)
+    samples: np.ndarray,            # [T, S, 2] normalized sampling locations
+    out_dir: str,
+    color=(255, 144, 30),
+    threshold: float = 0.5,
+) -> None:
+    """Qualitative overlay (reference inference_ytvos.py:318-363 with
+    --visualize): mask blend + predicted box + decoder reference-point
+    crosshair + the exported top-30 deformable sampling locations."""
+    from PIL import Image, ImageDraw
+
+    os.makedirs(out_dir, exist_ok=True)
+    col = np.asarray(color, np.float32)
+    for t, (frame, name) in enumerate(zip(frames, frame_names)):
+        h, w = frame.shape[:2]
+        img = (frame * 255).astype(np.uint8).copy()
+        m = scores[t] > threshold
+        img[m] = (0.5 * img[m] + 0.5 * col).astype(np.uint8)
+        pil = Image.fromarray(img)
+        draw = ImageDraw.Draw(pil)
+        cx, cy, bw, bh = boxes[t]
+        x0, y0 = (cx - bw / 2) * w, (cy - bh / 2) * h
+        x1, y1 = (cx + bw / 2) * w, (cy + bh / 2) * h
+        draw.rectangle((x0, y0, x1, y1), outline=tuple(color), width=2)
+        rx, ry = ref_points[t][0] * w, ref_points[t][1] * h
+        draw.line((rx - 10, ry, rx + 10, ry), fill=tuple(color), width=4)
+        draw.line((rx, ry - 10, rx, ry + 10), fill=tuple(color), width=4)
+        for sx, sy in samples[t]:
+            px, py = sx * w, sy * h
+            draw.ellipse((px - 2, py - 2, px + 2, py + 2), fill=tuple(color))
+        pil.save(os.path.join(out_dir, name + ".png"))
+
+
 # ---------------------------------------------------------------------------
 # protocols
 # ---------------------------------------------------------------------------
@@ -318,12 +362,15 @@ def run_ytvos(
     f_extra: int = 0,
     videos: Optional[Sequence[str]] = None,
     whole_video: bool = True,
+    visualize: bool = False,
 ):
     """Write per-frame binary PNGs to <out>/<split>/<video>/<exp_id>/.
     ``whole_video`` defaults True (the reference's default protocol); set
     False for the keep_fps windowed protocol. ``engine`` may be a single
     InferenceEngine or a list from ``make_engines`` — videos round-robin
-    over the per-device engines (reference inference_ytvos.py:88-113)."""
+    over the per-device engines (reference inference_ytvos.py:88-113).
+    ``visualize`` additionally writes qualitative overlays (mask + box +
+    reference point + sampling locations) under <out>/<split>_vis/."""
     from PIL import Image
 
     engines = _as_engines(engine)
@@ -355,6 +402,20 @@ def run_ytvos(
             for i, name in enumerate(frames_names):
                 m = (scores[i] > threshold).astype(np.uint8) * 255
                 Image.fromarray(m).save(os.path.join(save_dir, name + ".png"))
+            if visualize:
+                from tce_rvos_tpu.tools.colormap import colormap
+
+                colors = colormap(rgb=True)
+                ci = int(exp_id) if exp_id.isdigit() else abs(hash(exp_id))
+                save_visualization(
+                    frames, frames_names, scores,
+                    out["pred_boxes"][:, q],
+                    out["reference_points"][:, q],
+                    out["inter_samples"][:, q],
+                    os.path.join(output_dir, f"{split}_vis", video, exp_id),
+                    color=tuple(int(c) for c in colors[ci % len(colors)]),
+                    threshold=threshold,
+                )
             n_frames[0] += len(frames_names)
 
     _fanout(engines, video_list, one_video)
@@ -484,6 +545,8 @@ def main(argv=None):
                    help="frames per clip window (0 = num_frames; davis default 32)")
     p.add_argument("--num_devices", "--ngpu", type=int, default=0, dest="num_devices",
                    help="devices to fan videos out over (0 = all local)")
+    p.add_argument("--visualize", action="store_true",
+                   help="save qualitative overlays (mask/box/ref/sampling points)")
     args = p.parse_args(argv)
 
     cfg = model_config_from_args(args)
@@ -504,7 +567,7 @@ def main(argv=None):
     engines = make_engines(cfg, variables, args.num_devices, window=window)
     if args.dataset_file == "ytvos":
         run_ytvos(engines, args.ytvos_path, args.output_dir, args.split,
-                  args.threshold, cfg.f_extra)
+                  args.threshold, cfg.f_extra, visualize=args.visualize)
     elif args.dataset_file == "davis":
         run_davis(engines, args.davis_path, args.output_dir, args.split, args.threshold)
     else:

@@ -29,11 +29,22 @@ from tce_rvos_tpu.config import TrainConfig
 from tce_rvos_tpu.models.criterion import CriterionConfig, criterion
 
 
+def _is_encoder_path(path: str) -> bool:
+    """Params owned by the deformable encoder — the reference's
+    ``model.transformer.encoder.parameters()`` (main.py:59-61) covers the
+    encoder layers AND the FTF memory bus/pos (owned by the encoder there,
+    tce_deformable_transformer.py:560-565)."""
+    return any(n in path for n in ("encoder_layers_", "memory_bus", "memory_pos"))
+
+
 def param_group(path: str, cfg: TrainConfig) -> str:
     """Classify a flattened param path into its LR tier, mirroring the
     name-substring matching of reference main.py:91-111. Our path spellings:
     'backbone/...', 'text_encoder/...', '.../reference_points/...',
-    '.../sampling_offsets/...'."""
+    '.../sampling_offsets/...'. With ``pretrain_enc`` everything outside the
+    deformable encoder is frozen (reference main.py:57-61)."""
+    if cfg.pretrain_enc and not _is_encoder_path(path):
+        return "frozen"
     if "text_encoder" in path:
         return "text_encoder"
     if path.startswith("backbone/") or "/backbone/" in path:
@@ -46,6 +57,20 @@ def param_group(path: str, cfg: TrainConfig) -> str:
 def multistep_schedule(base_lr: float, cfg: TrainConfig, steps_per_epoch: int):
     boundaries = {e * steps_per_epoch: 0.1 for e in cfg.lr_drop}
     return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def cyclic_schedule(lo: float, hi: float, half_period: int):
+    """Per-step triangular CyclicLR (reference main.py:245-249: base->max
+    over ``half_period`` steps, back down, repeat; mode='triangular',
+    cycle-constant scale)."""
+    half = max(int(half_period), 1)
+
+    def schedule(step):
+        phase = jnp.mod(step, 2 * half).astype(jnp.float32) / half
+        tri = 1.0 - jnp.abs(phase - 1.0)
+        return lo + (hi - lo) * tri
+
+    return schedule
 
 
 def make_optimizer(params, cfg: TrainConfig, steps_per_epoch: int = 1):
@@ -61,14 +86,21 @@ def make_optimizer(params, cfg: TrainConfig, steps_per_epoch: int = 1):
     }
 
     def tier(lr):
-        return optax.adamw(
-            multistep_schedule(lr, cfg, steps_per_epoch),
-            weight_decay=cfg.weight_decay,
-        )
+        if cfg.cyclic_lr:
+            # torch CyclicLR with scalar boundaries overrides every param
+            # group's lr with the same triangular wave (main.py:245-249)
+            lo, hi = cfg.cyclic_lr_boundary
+            sched = cyclic_schedule(lo, hi, steps_per_epoch // 2)
+        else:
+            sched = multistep_schedule(lr, cfg, steps_per_epoch)
+        return optax.adamw(sched, weight_decay=cfg.weight_decay)
 
+    tiers = {k: tier(v) for k, v in lrs.items()}
+    if cfg.pretrain_enc:
+        tiers["frozen"] = optax.set_to_zero()
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.clip_max_norm),
-        optax.multi_transform({k: tier(v) for k, v in lrs.items()}, labels),
+        optax.multi_transform(tiers, labels),
     )
     return tx
 

@@ -140,10 +140,19 @@ def main(argv=None):
         return stats
 
     # ---- data ----
+    import functools
+
+    # bucket the padded (H, W) so the train step compiles once per bucket
+    # instead of once per distinct multi-scale resize outcome (the train
+    # pipeline samples short sides 288-512; unbucketed that is a fresh XLA
+    # compile of the full step for nearly every batch)
+    collate = functools.partial(
+        collate_batch, hw_buckets=tuple(range(128, data_cfg.max_size + 64, 64))
+    )
     dataset_train = build_dataset(args.dataset_file, "train", data_cfg, model_cfg)
     sampler = ShardedSampler(len(dataset_train), shuffle=True, seed=train_cfg.seed)
     loader = PrefetchLoader(
-        dataset_train, sampler, train_cfg.batch_size, collate_batch,
+        dataset_train, sampler, train_cfg.batch_size, collate,
         num_workers=args.num_workers,
     )
 
@@ -179,6 +188,24 @@ def main(argv=None):
         )
         start_epoch = meta.get("epoch", -1) + 1
 
+    # per-epoch A2D eval during training (reference main.py:283-285)
+    val_loader_fn = None
+    if args.dataset_file == "a2d":
+        dataset_val = build_dataset("a2d", "val", data_cfg, model_cfg)
+        val_sampler = ShardedSampler(len(dataset_val), shuffle=False)
+
+        def val_loader_fn():
+            return iter(
+                PrefetchLoader(
+                    dataset_val, val_sampler, train_cfg.batch_size, collate_batch,
+                    num_workers=args.num_workers,
+                )
+            )
+
+        @jax.jit
+        def eval_fwd(v, **kw):
+            return model.apply(v, **kw)
+
     mesh = make_mesh()
     output_dir = args.output_dir
     os.makedirs(output_dir, exist_ok=True)
@@ -194,7 +221,7 @@ def main(argv=None):
                     len(dataset_train), shuffle=True, seed=train_cfg.seed
                 )
                 loader = PrefetchLoader(
-                    dataset_train, sampler, train_cfg.batch_size, collate_batch,
+                    dataset_train, sampler, train_cfg.batch_size, collate,
                     num_workers=args.num_workers,
                 )
             sampler.set_epoch(epoch)
@@ -228,6 +255,12 @@ def main(argv=None):
                 "epoch": epoch,
                 "n_parameters": int(n_params),
             }
+            if val_loader_fn is not None:
+                test_stats = evaluate_a2d(
+                    eval_fwd, {"params": state.params, **state.frozen},
+                    val_loader_fn(), args.threshold,
+                )
+                log_stats.update({k: v for k, v in test_stats.items()})
             if jax.process_index() == 0:
                 with open(os.path.join(output_dir, "log.txt"), "a") as fh:
                     fh.write(json.dumps(log_stats) + "\n")

@@ -105,13 +105,20 @@ def test_ytvos_protocol_end_to_end(davis_root, tmp_path):
 
     engine = InferenceEngine(cfg, variables, size=64, max_size=96, window=4)
     out_dir = str(tmp_path / "out_ytvos")
-    run_ytvos(engine, str(davis_root), out_dir, split="valid", whole_video=True)
+    run_ytvos(engine, str(davis_root), out_dir, split="valid", whole_video=True,
+              visualize=True)
     d = os.path.join(out_dir, "valid", "goat", "0")
     files = sorted(os.listdir(d))
     assert files == [f"{i:05d}.png" for i in range(4)]
     m = np.array(Image.open(os.path.join(d, files[0])))
     assert m.shape == (64, 64)
     assert set(np.unique(m)).issubset({0, 255})
+    # --visualize consumer (reference inference_ytvos.py:318-363): RGB
+    # overlays with sampling points for every frame
+    vd = os.path.join(out_dir, "valid_vis", "goat", "0")
+    assert sorted(os.listdir(vd)) == files
+    overlay = np.array(Image.open(os.path.join(vd, files[0])))
+    assert overlay.shape == (64, 64, 3)
 
 
 @pytest.fixture(scope="module")
