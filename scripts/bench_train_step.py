@@ -1,0 +1,87 @@
+"""Train-step benchmark: flagship config, one chip, steps/sec.
+
+Measures the full jitted train step (forward + criterion + backward +
+AdamW update) at the flagship training shape (batch 1, 5 frames, 384x640).
+The MSDA backward currently routes through the XLA gather VJP
+(ops/pallas_msda.py) — this benchmark is the measured cost of that choice.
+
+Usage: python scripts/bench_train_step.py [msda_impl] [K]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+T, H, W = 5, 384, 640
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+
+def main():
+    from tce_rvos_tpu.config import ModelConfig, TrainConfig
+    from tce_rvos_tpu.models.build import build_model, example_inputs
+    from tce_rvos_tpu.models.criterion import criterion_from_configs
+    from tce_rvos_tpu.parallel.train_step import create_train_state, make_train_step
+
+    impl = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+    cfg = ModelConfig(with_box_refine=True, binary=True, f_token=8, qtrans=True,
+                      msda_impl=impl, use_checkpoint=True)
+    tcfg = TrainConfig()
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=1, t=T, hw=(H, W), text_len=8)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+    state, tx = create_train_state(variables, tcfg, steps_per_epoch=1000)
+    step = make_train_step(model.apply, tx, criterion_from_configs(cfg, tcfg))
+
+    rng = np.random.RandomState(int(time.time() * 1e6) % (2**31))
+    batch = dict(inputs)
+    batch["targets"] = {
+        "labels": jnp.zeros((1, T), jnp.int32),
+        "boxes": jnp.asarray(rng.rand(1, T, 4), np.float32),
+        "masks": jnp.asarray((rng.rand(1, T, H, W) > 0.5).astype(np.float32)),
+        "valid": jnp.ones((1, T), jnp.int32),
+    }
+
+    @jax.jit
+    def k_steps(state, videos_k, rngs_k):
+        def one(st, xs):
+            video, r = xs
+            b = dict(batch)
+            b["video"] = video
+            st, metrics = step(st, b, r)
+            return st, metrics["loss"]
+
+        st, losses = jax.lax.scan(one, state, (videos_k, rngs_k))
+        return st, losses.sum()
+
+    base = np.asarray(inputs["video"], np.float32)
+    # shape [K, 1, T, H, W, 3]
+    videos_k = jnp.asarray(
+        np.stack([base + rng.randn(*base.shape).astype(np.float32) * 0.01
+                  for _ in range(K)])
+    )  # [K, 1, T, H, W, 3]
+    rngs_k = jax.random.split(jax.random.PRNGKey(0), K)
+
+    print("compiling train step...", flush=True)
+    t0 = time.perf_counter()
+    st, s0 = k_steps(state, videos_k, rngs_k)
+    jax.block_until_ready(s0)
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    reps = 3
+    tot = 0.0
+    for _ in range(reps):
+        st2, s = k_steps(state, videos_k, rngs_k)
+        tot += float(s)
+    dt = (time.perf_counter() - t0) / reps
+    print(
+        f"train step ({impl}): {dt / K * 1e3:.1f} ms/step "
+        f"({K / dt:.3f} steps/s, clip=1x{T}x{H}x{W}, checksum {tot:.3f})"
+    )
+
+
+if __name__ == "__main__":
+    main()

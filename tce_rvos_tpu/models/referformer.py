@@ -217,6 +217,7 @@ class ReferFormer(nn.Module):
             q_trans=cfg.qtrans,
             f_token=cfg.f_token,
             with_box_refine=cfg.with_box_refine,
+            use_checkpoint=cfg.use_checkpoint,
             msda_impl=cfg.msda_impl,
             name="transformer",
         )(

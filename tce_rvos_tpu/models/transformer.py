@@ -416,6 +416,7 @@ class DeformableTransformer(nn.Module):
     f_token: int = 0
     with_box_refine: bool = False
     msda_impl: str = "xla"
+    use_checkpoint: bool = False  # remat each enc/dec layer (training memory)
 
     @nn.compact
     def __call__(
@@ -466,8 +467,19 @@ class DeformableTransformer(nn.Module):
 
         b, t, q_per_frame, _ = tgt.shape
         output = src_flat
+        # activation remat per layer: at 25k tokens the encoder's saved
+        # intermediates dominate training HBM (the flagship train step OOMs
+        # a 16G chip without it); statics = spatial_shapes/num_frames/flag
+        enc_cls = (
+            nn.remat(EncoderLayer, static_argnums=(4, 9, 10))
+            if self.use_checkpoint else EncoderLayer
+        )
+        dec_cls = (
+            nn.remat(DecoderLayer, static_argnums=(5, 7))
+            if self.use_checkpoint else DecoderLayer
+        )
         for i in range(self.num_encoder_layers):
-            output, memory_bus = EncoderLayer(
+            output, memory_bus = enc_cls(
                 c, self.dim_feedforward, self.dropout, self.activation,
                 self.num_feature_levels, self.nhead, self.enc_n_points,
                 self.f_token, msda_impl=self.msda_impl,
@@ -501,7 +513,7 @@ class DeformableTransformer(nn.Module):
                 )
             else:
                 ref_input = reference_points[:, :, None] * valid_ratios[:, None]
-            out, loc, attn_w = DecoderLayer(
+            out, loc, attn_w = dec_cls(
                 c, self.dim_feedforward, self.dropout, self.activation,
                 self.num_feature_levels, self.nhead, self.dec_n_points,
                 self.q_trans, msda_impl=self.msda_impl,

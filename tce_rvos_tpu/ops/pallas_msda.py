@@ -385,16 +385,26 @@ def _forward(value, spatial_shapes, loc, attn):
     return _forward_from_hm(value_hm, spatial_shapes, loc, attn, value.dtype)
 
 
+def _bwd_block_sizes(q: int):
+    if q <= 128:
+        return 128, 128
+    return DEFAULT_BQ, FLAT_BQ
+
+
 def _fwd(value, spatial_shapes, loc, attn):
     return _forward(value, spatial_shapes, loc, attn), (value, loc, attn)
 
 
 def _bwd(spatial_shapes, res, g):
+    from tce_rvos_tpu.ops.pallas_msda_bwd import msda_backward_hm
+
     value, loc, attn = res
-    _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn(v, spatial_shapes, l, a), value, loc, attn
+    sep_bq, flat_bq = _bwd_block_sizes(loc.shape[1])
+    dv_hm, dloc, dattn = msda_backward_hm(
+        value.transpose(0, 2, 1, 3), spatial_shapes, loc, attn, g,
+        sep_bq, flat_bq, FLAT_LEVEL_MAX_PIXELS,
     )
-    return vjp(g)
+    return dv_hm.transpose(0, 2, 1, 3).astype(value.dtype), dloc, dattn
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)
@@ -425,16 +435,15 @@ def _fwd_hm(value_hm, spatial_shapes, loc, attn):
 
 
 def _bwd_hm(spatial_shapes, res, g):
+    from tce_rvos_tpu.ops.pallas_msda_bwd import msda_backward_hm
+
     value_hm, loc, attn = res
-    _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn(
-            v.transpose(1, 2, 0, 3), spatial_shapes, l, a
-        ),
-        value_hm,
-        loc,
-        attn,
+    sep_bq, flat_bq = _bwd_block_sizes(loc.shape[1])
+    dv, dloc, dattn = msda_backward_hm(
+        value_hm.transpose(1, 0, 2, 3), spatial_shapes, loc, attn, g,
+        sep_bq, flat_bq, FLAT_LEVEL_MAX_PIXELS,
     )
-    return vjp(g)
+    return dv.transpose(1, 0, 2, 3).astype(value_hm.dtype), dloc, dattn
 
 
 ms_deform_attn_pallas_hm.defvjp(_fwd_hm, _bwd_hm)
