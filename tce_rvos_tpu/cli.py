@@ -104,6 +104,8 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--max_size", default=640, type=int)
     p.add_argument("--remove_difficult", action="store_true")
     p.add_argument("--keep_fps", action="store_true")
+    p.add_argument("--cache_mode", action="store_true",
+                   help="per-node dataset sharding (NodeShardedSampler)")
     p.add_argument("--vid_aug", action="store_true")
     p.add_argument("--pretrain_enc", action="store_true")
     p.add_argument("--cyclic_lr", action="store_true")

@@ -172,6 +172,9 @@ class DataConfig:
     vid_aug: bool = False
     pretrain_enc: bool = False
     pretrain_coco: bool = False
+    # per-node dataset sharding (reference --cache_mode +
+    # NodeDistributedSampler, datasets/samplers.py:75-139)
+    cache_mode: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,6 +63,74 @@ class ShardedSampler:
         return iter(indices[self.rank : self.total_size : self.num_replicas])
 
 
+class NodeShardedSampler:
+    """Per-node dataset sharding (reference NodeDistributedSampler,
+    datasets/samplers.py:75-139, used with ``--cache_mode``): each sample
+    index is owned by the node whose ``local_rank`` equals
+    ``index % local_size`` — a host only ever touches (and can therefore
+    cache) its own slice of the dataset — and the node's processes then
+    stride through that slice. TPU mapping: rank = jax.process_index();
+    local_rank/local_size describe processes per host (env LOCAL_RANK /
+    LOCAL_SIZE, same contract as the reference)."""
+
+    def __init__(
+        self,
+        dataset_len: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_replicas: Optional[int] = None,
+        rank: Optional[int] = None,
+        local_rank: Optional[int] = None,
+        local_size: Optional[int] = None,
+    ):
+        import os
+
+        if num_replicas is None:
+            try:
+                import jax
+
+                num_replicas = jax.process_count()
+                rank = jax.process_index()
+            except Exception:
+                num_replicas, rank = 1, 0
+        if local_rank is None:
+            local_rank = int(os.environ.get("LOCAL_RANK", 0))
+        if local_size is None:
+            local_size = int(os.environ.get("LOCAL_SIZE", 1))
+        self.dataset_len = dataset_len
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_replicas = num_replicas
+        self.num_parts = local_size
+        self.rank = rank or 0
+        self.local_rank = local_rank
+        self.epoch = 0
+        self.num_samples = -(-dataset_len // num_replicas)
+        self.total_size_parts = self.num_samples * num_replicas // self.num_parts
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        return self.num_samples
+
+    def __iter__(self) -> Iterator[int]:
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            indices = rng.permutation(self.dataset_len).tolist()
+        else:
+            indices = list(range(self.dataset_len))
+        indices = [i for i in indices if i % self.num_parts == self.local_rank]
+        indices += indices[: self.total_size_parts - len(indices)]
+        assert len(indices) == self.total_size_parts
+        out = indices[
+            self.rank // self.num_parts : self.total_size_parts
+            : self.num_replicas // self.num_parts
+        ]
+        assert len(out) == self.num_samples
+        return iter(out)
+
+
 class PrefetchLoader:
     def __init__(
         self,

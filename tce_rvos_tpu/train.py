@@ -149,8 +149,11 @@ def main(argv=None):
     collate = functools.partial(
         collate_batch, hw_buckets=tuple(range(128, data_cfg.max_size + 64, 64))
     )
+    from tce_rvos_tpu.data.loader import NodeShardedSampler
+
+    sampler_cls = NodeShardedSampler if data_cfg.cache_mode else ShardedSampler
     dataset_train = build_dataset(args.dataset_file, "train", data_cfg, model_cfg)
-    sampler = ShardedSampler(len(dataset_train), shuffle=True, seed=train_cfg.seed)
+    sampler = sampler_cls(len(dataset_train), shuffle=True, seed=train_cfg.seed)
     loader = PrefetchLoader(
         dataset_train, sampler, train_cfg.batch_size, collate,
         num_workers=args.num_workers,
@@ -217,7 +220,7 @@ def main(argv=None):
         for epoch in range(start_epoch, train_cfg.epochs):
             if data_cfg.keep_fps and hasattr(dataset_train, "refresh_metas"):
                 dataset_train.refresh_metas()
-                sampler = ShardedSampler(
+                sampler = sampler_cls(
                     len(dataset_train), shuffle=True, seed=train_cfg.seed
                 )
                 loader = PrefetchLoader(

@@ -192,3 +192,32 @@ def test_a2d_eval_metrics():
     assert p_at_k == [1.0] * 5 and overall == 1.0 and mean == 1.0
     m = calculate_map(gt, preds)
     assert m["mAP 0.5:0.95"] > 0.99
+
+
+def test_node_sharded_sampler_per_node_ownership():
+    """NodeShardedSampler (reference NodeDistributedSampler semantics,
+    datasets/samplers.py:75-139): a process only ever draws indices owned by
+    its NODE (index % local_size == local_rank), the node's processes
+    partition the node shard, and the union covers every index."""
+    from tce_rvos_tpu.data.loader import NodeShardedSampler
+
+    n, world, local_size = 37, 4, 2  # 2 nodes x 2 processes
+    all_idx = []
+    for rank in range(world):
+        s = NodeShardedSampler(
+            n, shuffle=True, seed=3, num_replicas=world, rank=rank,
+            local_rank=rank % local_size, local_size=local_size,
+        )
+        idx = list(s)
+        assert len(idx) == len(s)
+        # node ownership: this process's node caches exactly these indices
+        assert all(i % local_size == rank % local_size for i in idx), rank
+        all_idx.extend(idx)
+    # padded union covers the dataset
+    assert set(all_idx) == set(range(n))
+    # epoch reshuffles deterministically
+    s0 = NodeShardedSampler(n, seed=3, num_replicas=world, rank=0,
+                            local_rank=0, local_size=local_size)
+    a = list(s0)
+    s0.set_epoch(1)
+    assert list(s0) != a
