@@ -46,6 +46,20 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         print(f"{name}: {dt * 1e3:.3f} ms/call  (N={n}, Q={q}, M={m}, D={d})")
 
+    # analytic Pallas backward (ops/pallas_msda_bwd.py) vs the oracle VJP
+    g = jnp.asarray(rng.randn(n, q, m * d), jnp.float32)
+    gr = jax.jit(jax.grad(
+        lambda v, l, a: (ms_deform_attn(v, shapes, l, a) * g).sum(),
+        argnums=(0, 1, 2),
+    ))(value, loc, attn)
+    gp = jax.jit(jax.grad(
+        lambda v, l, a: (ms_deform_attn_pallas(v, shapes, l, a) * g).sum(),
+        argnums=(0, 1, 2),
+    ))(value, loc, attn)
+    for nm, a, b in zip(("d_value", "d_loc", "d_attn"), gr, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        print(f"bwd {nm}: rel err {np.abs(a - b).max() / np.abs(a).max():.3e}")
+
 
 if __name__ == "__main__":
     main()

@@ -65,8 +65,7 @@ FLAT_LEVEL_MAX_PIXELS = 1024  # levels at or below use the flat kernel
 
 
 def _msda_level_kernel(
-    loc_ref,   # [1, 1, L*P*2, BQ]  (Q-minor; ALL levels' rows)
-    attn_ref,  # [1, 1, L*P, BQ]
+    qa_ref,    # [1, 1, BQ, L*P*3]  (Q-MAJOR: loc rows then attn rows)
     v_ref,     # [1, 1, W, D*H]  (rows = x, lanes = d-major (d*H + y))
     out_ref,   # [1, 1, BQ, D]
     *,
@@ -76,6 +75,7 @@ def _msda_level_kernel(
     p: int,
     bq: int,
     lvl: int,
+    nlvl: int,
 ):
     xs = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1).astype(jnp.float32)
     # binary fold matrix G[c*H + y, c'] = (c == c'): the y-reduction of a
@@ -88,14 +88,17 @@ def _msda_level_kernel(
 
     v_t = v_ref[0, 0]      # [W, D*H]
 
-    # ONE transpose per ref (vs one per point): [P*2, BQ] -> [BQ, P*2]
-    loc_t = jnp.transpose(loc_ref[0, 0])
-    attn_t = jnp.transpose(attn_ref[0, 0])
+    # loc/attn arrive Q-MAJOR (queries in sublanes) — column extraction is a
+    # static lane slice; the former Q-minor layout cost an in-kernel
+    # [rows, BQ] transpose measured at ~2 ms/call at this level's size
+    qa_t = qa_ref[0, 0]    # [BQ, L*P*3]
 
     def col(which, row):
         if which == "loc":
-            return loc_t[:, lvl * p * 2 + row : lvl * p * 2 + row + 1]
-        return attn_t[:, lvl * p + row : lvl * p + row + 1]
+            r = lvl * p * 2 + row
+        else:
+            r = nlvl * p * 2 + lvl * p + row
+        return qa_t[:, r : r + 1]
 
     # stack the P points along sublanes -> ONE MXU matmul; attn is folded
     # into the narrow x-factor (everything downstream is linear in it)
@@ -141,13 +144,13 @@ def _msda_level_kernel(
 
 
 def _msda_multilevel_kernel_flat(
-    loc_ref,   # [1, 1, L*P*2, BQ]  (Q-minor; ALL levels' rows)
-    attn_ref,  # [1, 1, L*P, BQ]
+    qa_ref,    # [1, 1, BQ, L*P*3]  (Q-MAJOR: loc rows then attn rows)
     v_ref,     # [1, 1, sum HW_l, D]  (flat row-major pixels, levels stacked)
     out_ref,   # [1, 1, BQ, D]
     *,
     shapes: SpatialShapes,       # the flat levels' (H, W)
     lvl_idx: Tuple[int, ...],    # their level indices into loc/attn rows
+    nlvl: int,
     d: int,
     p: int,
     bq: int,
@@ -162,9 +165,10 @@ def _msda_multilevel_kernel_flat(
     (device-profiled: the 60-pixel level measured 0.82 ms for ~0.1 ms of
     work across 400 cells)."""
     v = v_ref[0, 0].astype(jnp.bfloat16)  # [sum HW, D]
+    qa_t = qa_ref[0, 0]                   # [BQ, L*P*3] Q-major
 
-    loc_t = jnp.transpose(loc_ref[0, 0])
-    attn_t = jnp.transpose(attn_ref[0, 0])
+    def col(row):
+        return qa_t[:, row : row + 1]
 
     segs = []
     for (h, w), lvl in zip(shapes, lvl_idx):
@@ -172,25 +176,22 @@ def _msda_multilevel_kernel_flat(
         lane_y = (lane // w).astype(jnp.float32)
         lane_x = (lane % w).astype(jnp.float32)
 
-        def col(src, row):
-            return src[:, row : row + 1]
-
         seg = sum(
             jnp.maximum(
                 0.0,
                 1.0
                 - jnp.abs(
-                    lane_x - (col(loc_t, lvl * p * 2 + 2 * pi) * w - 0.5)
+                    lane_x - (col(lvl * p * 2 + 2 * pi) * w - 0.5)
                 ),
             )
             * jnp.maximum(
                 0.0,
                 1.0
                 - jnp.abs(
-                    lane_y - (col(loc_t, lvl * p * 2 + 2 * pi + 1) * h - 0.5)
+                    lane_y - (col(lvl * p * 2 + 2 * pi + 1) * h - 0.5)
                 ),
             )
-            * col(attn_t, lvl * p + pi)
+            * col(nlvl * p * 2 + lvl * p + pi)
             for pi in range(p)
         )
         segs.append(seg)
@@ -203,32 +204,28 @@ def _msda_multilevel_kernel_flat(
 
 def _msda_sep_level_pallas(
     value_t: jnp.ndarray,   # [N, M, W, D*H] (d-major lanes)
-    loc_t: jnp.ndarray,     # [N, M, L*P*2, Qp] (Q-minor, ALL levels' rows)
-    attn_t: jnp.ndarray,    # [N, M, L*P, Qp]
+    qa: jnp.ndarray,        # [N, M, Qp, L*P*3] (Q-major loc+attn)
     lvl: int,
+    nlvl: int,
     h: int,
     w: int,
     p: int,
     block_q: int = DEFAULT_BQ,
 ) -> jnp.ndarray:
-    n, m, _, qp = loc_t.shape
+    n, m, qp, _ = qa.shape
     d = value_t.shape[-1] // h
     grid = (n, m, qp // block_q)
 
     out = pl.pallas_call(
         functools.partial(
-            _msda_level_kernel, h=h, w=w, d=d, p=p, bq=block_q, lvl=lvl
+            _msda_level_kernel, h=h, w=w, d=d, p=p, bq=block_q, lvl=lvl,
+            nlvl=nlvl,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, loc_t.shape[2], block_q),
-                lambda ni, mi, qi: (ni, mi, 0, qi),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, attn_t.shape[2], block_q),
-                lambda ni, mi, qi: (ni, mi, 0, qi),
+                (1, 1, block_q, qa.shape[3]),
+                lambda ni, mi, qi: (ni, mi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -251,20 +248,20 @@ def _msda_sep_level_pallas(
             bytes_accessed=n * m * w * h * d * 4 + n * qp * m * p * 3 * 4,
             transcendentals=0,
         ),
-    )(loc_t, attn_t, value_t)
+    )(qa, value_t)
     return out  # [N, M, Qp, D]
 
 
 def _msda_flat_levels_pallas(
     value_t: jnp.ndarray,   # [N, M, sum HW, D] (flat levels stacked)
-    loc_t: jnp.ndarray,     # [N, M, L*P*2, Qp]
-    attn_t: jnp.ndarray,    # [N, M, L*P, Qp]
+    qa: jnp.ndarray,        # [N, M, Qp, L*P*3] (Q-major loc+attn)
     shapes: SpatialShapes,  # the flat levels' (H, W)
     lvl_idx: Tuple[int, ...],
+    nlvl: int,
     p: int,
     block_q: int = FLAT_BQ,
 ) -> jnp.ndarray:
-    n, m, _, qp = loc_t.shape
+    n, m, qp, _ = qa.shape
     d = value_t.shape[-1]
     sum_hw = value_t.shape[2]
     grid = (n, m, qp // block_q)
@@ -272,18 +269,13 @@ def _msda_flat_levels_pallas(
     out = pl.pallas_call(
         functools.partial(
             _msda_multilevel_kernel_flat,
-            shapes=shapes, lvl_idx=lvl_idx, d=d, p=p, bq=block_q,
+            shapes=shapes, lvl_idx=lvl_idx, nlvl=nlvl, d=d, p=p, bq=block_q,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, loc_t.shape[2], block_q),
-                lambda ni, mi, qi: (ni, mi, 0, qi),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, attn_t.shape[2], block_q),
-                lambda ni, mi, qi: (ni, mi, 0, qi),
+                (1, 1, block_q, qa.shape[3]),
+                lambda ni, mi, qi: (ni, mi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -306,7 +298,7 @@ def _msda_flat_levels_pallas(
             bytes_accessed=n * m * sum_hw * d * 4 + n * qp * m * p * 3 * 4,
             transcendentals=0,
         ),
-    )(loc_t, attn_t, value_t)
+    )(qa, value_t)
     return out  # [N, M, Qp, D]
 
 
@@ -317,8 +309,11 @@ def _forward_from_hm(value_hm, spatial_shapes, loc, attn, out_dtype):
     starts = level_splits(spatial_shapes)
     nlvl = len(spatial_shapes)
     p = loc.shape[4]
-    # ONE pad + clean 2D transpose to Q-minor layouts (strided 6D permutes
-    # are ~10x off bandwidth on TPU); per-level slices are then free.
+    # ONE Q-MAJOR loc+attn pack [N, M, Qp, L*P*3]: the kernels slice columns
+    # directly (queries stay in sublanes end to end) — both the old XLA-side
+    # Q-minor relayout and the in-kernel [rows, BQ] transposes (~2 ms/call
+    # at encoder size, device-ablated) disappear. The (0,2,1,3) transpose
+    # moves only the small head axis with 48-float contiguous runs.
     # Tiny query sets (decoder cross-attn Q=5, FTF tokens Q=8) use a 128
     # block so they don't burn 4x their work interpolating pad queries.
     if q <= 128:
@@ -327,12 +322,11 @@ def _forward_from_hm(value_hm, spatial_shapes, loc, attn, out_dtype):
         sep_bq, flat_bq = DEFAULT_BQ, FLAT_BQ
     pad = (-q) % max(sep_bq, flat_bq)
     qp = q + pad
-    loc_qmin = jnp.pad(
-        loc.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
-    ).transpose(0, 2, 1).reshape(n, m, nlvl * p * 2, qp)
-    attn_qmin = jnp.pad(
-        attn.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
-    ).transpose(0, 2, 1).reshape(n, m, nlvl * p, qp)
+    qa = jnp.concatenate(
+        [loc.reshape(n, q, m, nlvl * p * 2), attn.reshape(n, q, m, nlvl * p)],
+        axis=-1,
+    )
+    qa = jnp.pad(qa, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
 
     sep_lvls = [
         lvl for lvl, (h, w) in enumerate(spatial_shapes)
@@ -351,16 +345,16 @@ def _forward_from_hm(value_hm, spatial_shapes, loc, attn, out_dtype):
             .reshape(n, m, w, d * h)                      # d-major lanes
         )
         out = out + _msda_sep_level_pallas(
-            v_t, loc_qmin, attn_qmin, lvl, h, w, p, block_q=sep_bq
+            v_t, qa, lvl, nlvl, h, w, p, block_q=sep_bq
         )
     if flat_lvls:
         # flat levels are always a contiguous tail (levels shrink 2x each)
         assert flat_lvls == list(range(flat_lvls[0], nlvl)), flat_lvls
         v_t = value_hm[:, :, starts[flat_lvls[0]] : starts[nlvl]]
         out = out + _msda_flat_levels_pallas(
-            v_t, loc_qmin, attn_qmin,
+            v_t, qa,
             tuple(spatial_shapes[lvl] for lvl in flat_lvls),
-            tuple(flat_lvls), p, block_q=flat_bq,
+            tuple(flat_lvls), nlvl, p, block_q=flat_bq,
         )
     out = out.transpose(0, 2, 1, 3)[:, :q]                    # [N, Q, M, D]
     return out.reshape(n, q, m * d).astype(out_dtype)
