@@ -135,6 +135,31 @@ def evaluate_coco_pretrain(
         evaluator.update(res)
         if coco_evaluator is not None:
             coco_evaluator.update(res)
+    # multi-host: each process evaluated its loader shard — merge the
+    # prediction dicts before scoring (reference CocoEvaluator does a
+    # multi-rank merge, coco_eval.py:172-207; single-process: identity)
+    if jax.process_count() > 1:
+        from tce_rvos_tpu.parallel.collectives import all_gather_objects
+
+        local = {
+            k: {"scores": np.asarray(v["scores"]).tolist(),
+                "boxes": np.asarray(v["boxes"]).tolist()}
+            for k, v in evaluator.predictions.items()
+        }
+        merged = {}
+        for shard in all_gather_objects(local):
+            merged.update(shard)
+        merged = {
+            k: {"scores": np.asarray(v["scores"]), "boxes": np.asarray(v["boxes"])}
+            for k, v in merged.items()
+        }
+        evaluator = RefExpEvaluator(gt_boxes_by_image)
+        evaluator.update(merged)
+        if coco_evaluator is not None:
+            from tce_rvos_tpu.eval.coco_eval import CocoEvaluator
+
+            coco_evaluator = CocoEvaluator(coco_gt_by_image, iou_types=("bbox",))
+            coco_evaluator.update(merged)
     stats = evaluator.summarize()
     if coco_evaluator is not None:
         stats["coco_eval_bbox"] = coco_evaluator.stats("bbox")

@@ -81,7 +81,15 @@ class InferenceEngine:
         pad_mult: int = 64,
         window: Optional[int] = None,
         device=None,
+        t_bucket: int = 8,
     ):
+        """``t_bucket``: whole-video mode pads the frame count up to a
+        multiple of this, so a dataset with many distinct video lengths
+        compiles one program per bucket instead of one per length. 8 (the
+        reference protocol's spirit: the whole video in one forward) means
+        a 202-video ytvos valid split compiles ~5-8 programs; raise it to
+        trade pad compute for fewer compiles, or use windowed mode
+        (whole_video=False) for a single fixed-shape program."""
         self.cfg = cfg
         self.model = build_model(cfg)
         if cfg.compute_dtype != "float32":
@@ -96,6 +104,7 @@ class InferenceEngine:
         self.max_size = max_size
         self.pad_mult = pad_mult
         self.window = window or cfg.num_frames
+        self.t_bucket = t_bucket
         self._fwd = jax.jit(self._forward)
 
     def _forward(self, variables, video, video_mask, text_ids, text_attn, sizes):
@@ -162,7 +171,7 @@ class InferenceEngine:
         t_total = len(frames)
         win = self.window
         if whole_video:
-            win = max(-(-t_total // 8) * 8, 8)
+            win = max(-(-t_total // self.t_bucket) * self.t_bucket, self.t_bucket)
         text_ids, text_attn = tokenize([caption], max_len=24)
 
         logits_all, masks_all, boxes_all, refs_all, samples_all = [], [], [], [], []
