@@ -60,8 +60,7 @@ def _lin_weight(coord, centers):
 
 
 def _msda_bwd_q_kernel_sep(
-    loc_ref,    # [1, 1, L*P*2, BQ]
-    attn_ref,   # [1, 1, L*P, BQ]
+    qa_ref,     # [1, 1, BQ, L*P*3]  (Q-MAJOR loc+attn, as the forward)
     g_ref,      # [1, 1, BQ, D]
     v_ref,      # [1, 1, W, D*H]  (d-major)
     dloc_ref,   # [1, 1, BQ, P*2]  (this level's rows only)
@@ -73,11 +72,13 @@ def _msda_bwd_q_kernel_sep(
     p: int,
     bq: int,
     lvl: int,
+    nlvl: int,
 ):
     v_t = v_ref[0, 0].astype(jnp.bfloat16)
     g = g_ref[0, 0].astype(jnp.bfloat16)            # [BQ, D]
-    loc_t = jnp.transpose(loc_ref[0, 0])
-    attn_t = jnp.transpose(attn_ref[0, 0])
+    qa_t = qa_ref[0, 0]
+    loc_t = qa_t[:, : nlvl * p * 2]
+    attn_t = qa_t[:, nlvl * p * 2 :]
 
     xs = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1).astype(jnp.float32)
     ys_wide = (
@@ -174,8 +175,7 @@ def _msda_bwd_v_kernel_sep(
 
 
 def _msda_bwd_q_kernel_flat(
-    loc_ref,    # [1, 1, L*P*2, BQ]
-    attn_ref,   # [1, 1, L*P, BQ]
+    qa_ref,     # [1, 1, BQ, L*P*3]  (Q-MAJOR loc+attn, as the forward)
     g_ref,      # [1, 1, BQ, D]
     v_ref,      # [1, 1, sum HW, D]
     dloc_ref,   # [1, 1, BQ, n_lvls*P*2]
@@ -183,14 +183,16 @@ def _msda_bwd_q_kernel_flat(
     *,
     shapes: SpatialShapes,
     lvl_idx: Tuple[int, ...],
+    nlvl: int,
     d: int,
     p: int,
     bq: int,
 ):
     v = v_ref[0, 0].astype(jnp.bfloat16)
     g = g_ref[0, 0].astype(jnp.float32)
-    loc_t = jnp.transpose(loc_ref[0, 0])
-    attn_t = jnp.transpose(attn_ref[0, 0])
+    qa_t = qa_ref[0, 0]
+    loc_t = qa_t[:, : nlvl * p * 2]
+    attn_t = qa_t[:, nlvl * p * 2 :]
 
     starts = [0]
     for hh, ww in shapes:
@@ -299,6 +301,14 @@ def msda_backward_hm(
 
     pad = (-q) % max(sep_bq, flat_bq)
     qp = q + pad
+    # Q-major pack for the q-grad kernels (same layout as the forward)
+    qa = jnp.concatenate(
+        [loc.reshape(n, q, m, nlvl * p * 2), attn.reshape(n, q, m, nlvl * p)],
+        axis=-1,
+    )
+    qa = jnp.pad(qa, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    # Q-minor layouts for the value-grad kernels (their transposed builds
+    # want queries in lanes)
     loc_qmin = jnp.pad(
         loc.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
     ).transpose(0, 2, 1).reshape(n, m, nlvl * p * 2, qp)
@@ -346,11 +356,12 @@ def msda_backward_hm(
         grid = (n, m, qp // sep_bq)
         dloc, dattn = pl.pallas_call(
             functools.partial(
-                _msda_bwd_q_kernel_sep, h=h, w=w, d=d, p=p, bq=sep_bq, lvl=lvl
+                _msda_bwd_q_kernel_sep, h=h, w=w, d=d, p=p, bq=sep_bq,
+                lvl=lvl, nlvl=nlvl,
             ),
             grid=grid,
             in_specs=[
-                qspec(nlvl * p * 2, sep_bq), qspec(nlvl * p, sep_bq),
+                ospec(sep_bq, qa.shape[3]),
                 gspec(sep_bq),
                 pl.BlockSpec(
                     (1, 1, w, d * h), lambda ni, mi, qi: (ni, mi, 0, 0), **_VMEM
@@ -362,7 +373,7 @@ def msda_backward_hm(
                 jax.ShapeDtypeStruct((n, m, qp, p), jnp.float32),
             ],
             compiler_params=_LIMIT,
-        )(loc_qmin, attn_qmin, g_nm, v_t)
+        )(qa, g_nm, v_t)
         dloc_lvl[lvl], dattn_lvl[lvl] = dloc, dattn
 
         dv_t = pl.pallas_call(
@@ -397,11 +408,12 @@ def msda_backward_hm(
         dloc_f, dattn_f = pl.pallas_call(
             functools.partial(
                 _msda_bwd_q_kernel_flat,
-                shapes=f_shapes, lvl_idx=tuple(flat_lvls), d=d, p=p, bq=flat_bq,
+                shapes=f_shapes, lvl_idx=tuple(flat_lvls), nlvl=nlvl,
+                d=d, p=p, bq=flat_bq,
             ),
             grid=grid,
             in_specs=[
-                qspec(nlvl * p * 2, flat_bq), qspec(nlvl * p, flat_bq),
+                ospec(flat_bq, qa.shape[3]),
                 gspec(flat_bq),
                 pl.BlockSpec(
                     (1, 1, sum_hw, d), lambda ni, mi, qi: (ni, mi, 0, 0), **_VMEM
@@ -413,7 +425,7 @@ def msda_backward_hm(
                 jax.ShapeDtypeStruct((n, m, qp, nfl * p), jnp.float32),
             ],
             compiler_params=_LIMIT,
-        )(loc_qmin, attn_qmin, g_nm, v_flat)
+        )(qa, g_nm, v_flat)
         for li, lvl in enumerate(flat_lvls):
             dloc_lvl[lvl] = dloc_f[..., li * p * 2 : (li + 1) * p * 2]
             dattn_lvl[lvl] = dattn_f[..., li * p : (li + 1) * p]
