@@ -89,3 +89,46 @@ def test_pallas_backward_integer_sampling_point(inputs):
     got = gp[0, 0, 0, 0, 0]
     assert np.abs(target).max() > 0  # oracle gradient is nonzero here
     np.testing.assert_allclose(got, target, rtol=0.05, atol=2e-2 * np.abs(target).max())
+
+
+SHAPES_SEP = ((40, 64), (4, 8))  # 2560 px level -> separable path
+S_SEP = sum(h * w for h, w in SHAPES_SEP)
+
+
+@pytest.fixture(scope="module")
+def inputs_sep():
+    rng = np.random.RandomState(5)
+    value = rng.randn(N, S_SEP, M, D).astype(np.float32)
+    loc = rng.rand(N, Q, M, 2, P, 2).astype(np.float32) * 1.2 - 0.1
+    attn = rng.rand(N, Q, M, 2, P).astype(np.float32) + 1e-3
+    attn = attn / attn.reshape(N, Q, M, 2 * P).sum(-1)[..., None, None]
+    return jnp.array(value), jnp.array(loc), jnp.array(attn)
+
+
+def test_separable_kernel_forward_and_backward(inputs_sep):
+    """The 40x64 level exceeds FLAT_LEVEL_MAX_PIXELS, exercising the
+    SEPARABLE kernel family (fwd + analytic bwd) which the small default
+    shapes never reach."""
+    from tce_rvos_tpu.ops.pallas_msda import FLAT_LEVEL_MAX_PIXELS
+
+    assert SHAPES_SEP[0][0] * SHAPES_SEP[0][1] > FLAT_LEVEL_MAX_PIXELS
+    value, loc, attn = inputs_sep
+    expected = np.asarray(ms_deform_attn(value, SHAPES_SEP, loc, attn))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ms_deform_attn_pallas(value, SHAPES_SEP, loc, attn))
+    np.testing.assert_allclose(got, expected, rtol=0.05, atol=5e-3)
+
+    def loss_p(v, l, a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(ms_deform_attn_pallas(v, SHAPES_SEP, l, a) ** 2)
+
+    def loss_o(v, l, a):
+        return jnp.sum(ms_deform_attn(v, SHAPES_SEP, l, a) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(value, loc, attn)
+    go = jax.grad(loss_o, argnums=(0, 1, 2))(value, loc, attn)
+    for name, a, b in zip(("d_value", "d_loc", "d_attn"), gp, go):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1.0)
+        assert np.abs(a - b).max() < 0.02 * scale, (name, np.abs(a - b).max())
