@@ -80,6 +80,86 @@ def _install_stubs():
             return out
 
     tv_utils.IntermediateLayerGetter = IntermediateLayerGetter
+
+    # faithful torchvision-resnet50 reimplementation (v1.5: stride on the
+    # 3x3), with torchvision's exact module names so state_dict keys match
+    # real released checkpoints
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     dilation=1, norm_layer=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = norm_layer(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                                   padding=dilation, dilation=dilation, bias=False)
+            self.bn2 = norm_layer(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = norm_layer(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet(nn.Module):
+        def __init__(self, layers, replace_stride_with_dilation=None,
+                     norm_layer=None):
+            super().__init__()
+            if replace_stride_with_dilation is None:
+                replace_stride_with_dilation = [False, False, False]
+            self.inplanes = 64
+            self.dilation = 1
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = norm_layer(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = self._make_layer(64, layers[0], 1, False, norm_layer)
+            self.layer2 = self._make_layer(
+                128, layers[1], 2, replace_stride_with_dilation[0], norm_layer)
+            self.layer3 = self._make_layer(
+                256, layers[2], 2, replace_stride_with_dilation[1], norm_layer)
+            self.layer4 = self._make_layer(
+                512, layers[3], 2, replace_stride_with_dilation[2], norm_layer)
+
+        def _make_layer(self, planes, blocks, stride, dilate, norm_layer):
+            downsample = None
+            previous_dilation = self.dilation
+            if dilate:
+                self.dilation *= stride
+                stride = 1
+            if stride != 1 or self.inplanes != planes * 4:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
+                              bias=False),
+                    norm_layer(planes * 4),
+                )
+            layers = [Bottleneck(self.inplanes, planes, stride, downsample,
+                                 previous_dilation, norm_layer)]
+            self.inplanes = planes * 4
+            for _ in range(1, blocks):
+                layers.append(Bottleneck(self.inplanes, planes, 1, None,
+                                         self.dilation, norm_layer))
+            return nn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            return self.layer4(self.layer3(self.layer2(self.layer1(x))))
+
+    def resnet50(replace_stride_with_dilation=None, pretrained=False,
+                 norm_layer=None, **kw):
+        del pretrained  # never download
+        return ResNet([3, 4, 6, 3], replace_stride_with_dilation, norm_layer)
+
+    tv_models.resnet50 = resnet50
     tv_models._utils = tv_utils
     tv.models = tv_models
     tv_ops = _mod("torchvision.ops")
@@ -274,7 +354,7 @@ def _reference_args():
     return args
 
 
-def test_reference_forward_parity(reference_env):
+def _run_parity(reference_env, backbone: str):
     import torch
 
     from tce_rvos_tpu.config import ModelConfig
@@ -283,8 +363,19 @@ def test_reference_forward_parity(reference_env):
 
     ref_tce = reference_env
     args = _reference_args()
+    args.backbone = backbone
     torch.manual_seed(0)
     model, _, _ = ref_tce.build(args)
+    if backbone == "resnet50":
+        # the stub resnet is built with FrozenBatchNorm default stats
+        # (mean 0 / var 1) — randomize them so the converter's frozen-buffer
+        # handling is actually exercised
+        gen = torch.Generator().manual_seed(7)
+        for k, v in model.state_dict().items():
+            if "backbone" in k and k.endswith("running_mean"):
+                v.copy_(torch.randn(v.shape, generator=gen) * 0.3)
+            if "backbone" in k and k.endswith("running_var"):
+                v.copy_(torch.rand(v.shape, generator=gen) * 2 + 0.1)
     model.eval()
 
     b, t, H, W = 1, 2, 128, 128
@@ -307,7 +398,7 @@ def test_reference_forward_parity(reference_env):
     sd = {k: v.numpy() for k, v in model.state_dict().items()}
 
     cfg = ModelConfig(
-        backbone="swin_t_p4w7", binary=True, with_box_refine=True,
+        backbone=backbone, binary=True, with_box_refine=True,
         f_token=2, qtrans=True, enc_layers=2, dec_layers=2,
         dim_feedforward=64, num_frames=2, num_queries=5,
         text_encoder_layers=2, text_encoder_hidden=768,
@@ -354,3 +445,14 @@ def test_reference_forward_parity(reference_env):
     assert np.abs(masks - ref_masks).max() < 5e-3 * max(scale, 1.0), (
         np.abs(masks - ref_masks).max(), scale
     )
+
+
+def test_reference_forward_parity_swin(reference_env):
+    _run_parity(reference_env, "swin_t_p4w7")
+
+
+def test_reference_forward_parity_resnet50(reference_env):
+    """Flagship backbone: faithful torchvision-named ResNet-50 (v1.5) with
+    RANDOMIZED FrozenBatchNorm running stats, end to end through the same
+    converted pipeline."""
+    _run_parity(reference_env, "resnet50")
