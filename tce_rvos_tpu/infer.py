@@ -34,9 +34,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
-from tce_rvos_tpu.config import InferConfig, ModelConfig
+from tce_rvos_tpu.config import ModelConfig
 from tce_rvos_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD, get_size_with_aspect_ratio
 from tce_rvos_tpu.models.build import build_model
 from tce_rvos_tpu.models.text_encoder import tokenize

@@ -16,35 +16,29 @@ weight). The x-contraction becomes an MXU matmul
     S1[P*BQ, D*H] = Wx[P*BQ, W] @ V_t[W, D*H]
 
 with the level's value tile pre-transposed to [W, D*H] (d-major lanes), the
-y-weights are built NARROW ([P*BQ, H]) and expanded by pltpu.repeat (a lane
-tile copy), and the y-reduction is a fold matmul against an exact 0/1
-matrix. Per grid cell (batch n, head m, query block) everything lives in
-VMEM; no HBM gather traffic at all.
+wide y-factor built from iota arithmetic (lane % H), and the y-reduction a
+fold matmul against an exact 0/1 matrix. Per grid cell (batch n, head m,
+query block) everything lives in VMEM; no HBM gather traffic at all.
 
 Two variants, dispatched by level size:
   * separable (levels above FLAT_LEVEL_MAX_PIXELS pixels): as above;
-  * flat (small levels): the full 2D interpolation row [BQ, H*W] is built
-    from one narrow x-factor (pltpu.repeat-tiled) times an iota-derived
-    y-factor, and taps taken by one [BQ, H*W] @ [H*W, D] matmul.
+  * flat (all small levels MERGED into one kernel): each level's full 2D
+    interpolation rows from iota arithmetic, concatenated along lanes, one
+    [BQ, sum HW] @ [sum HW, D] matmul (each grid cell costs ~2 us fixed —
+    merging matters for tiny levels).
 
-Round-2 device-profile-driven choices (BASELINE.md):
-  * ATTN-WEIGHTED POINT PRE-SUM: both kernels' final matmuls are linear in
-    the interpolation weights, so the P sampling points are summed BEFORE
-    the matmul (attn folded into the narrow x-factor). The fold matmul's
-    N=D=32 lanes waste 3/4 of each MXU pass — pre-summing cuts its rows
-    (and the flat kernel's tap-matmul rows) P-fold. Measured: level-0
-    kernel 3.9 -> ~2.3 ms, flat levels ~0.85 -> ~0.45 ms.
-  * level 1 (960 px) runs separable, not flat: the flat [BQ, 960] weight
-    build is VPU-bound (measured 2.0 ms; separable ~1.1 ms).
-  * one fused all-levels kernel was tried and REJECTED: 10.3 ms on-device
-    vs 7.6 for per-level calls (register pressure / pipelining).
+Round-2 device-profile-driven choices (full anatomy + measured dead ends in
+BASELINE.md):
+  * ATTN-WEIGHTED POINT PRE-SUM: the final matmuls are linear in the
+    interpolation weights, so the P sampling points are summed BEFORE the
+    matmul — the N=D=32-lane MXU passes stop paying 4x for pad lanes;
+  * loc/attn arrive as ONE Q-MAJOR pack [N, M, Qp, L*P*3] (queries in
+    sublanes end to end; no Q-minor relayout, no in-kernel transposes);
+  * tiny query sets (decoder Q=5, FTF tokens Q=8) use 128-query blocks.
 
-All query-side pads/transposes are hoisted to one pass per op call; the
-XLA-side value relayouts cost ~1 ms/call total (profiled), not worth a
-kernel.
-
-Forward-only; the backward pass uses the XLA fallback (ops/msda.py) through
-``jax.custom_vjp`` — inference is the hot path (BASELINE.md north star).
+The backward is the ANALYTIC Pallas equivalent of the CUDA col2im kernels
+(ops/pallas_msda_bwd.py): same dense-separable matmul shapes, 11x over
+autodiff-through-the-gather-fallback.
 """
 
 from __future__ import annotations
@@ -57,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tce_rvos_tpu.ops.msda import SpatialShapes, level_splits, ms_deform_attn
+from tce_rvos_tpu.ops.msda import SpatialShapes, level_splits
 
 DEFAULT_BQ = 512   # queries per block (separable)
 FLAT_BQ = 512      # queries per block (flat)

@@ -19,10 +19,7 @@ import os
 import time
 from typing import Optional
 
-import numpy as np
-
 import jax
-import jax.numpy as jnp
 
 
 def run_eval(args, model_cfg, data_cfg, model, variables):
@@ -84,7 +81,14 @@ def main(argv=None):
         train_config_from_args,
     )
 
-    args = get_args_parser().parse_args(argv)
+    import argparse
+
+    # reference pattern: opts parser is help-less and used via parents
+    # (main.py:303) — the child parser provides -h/--help
+    parser = argparse.ArgumentParser(
+        "TCE-RVOS-TPU training", parents=[get_args_parser()]
+    )
+    args = parser.parse_args(argv)
     if os.environ.get("JAX_COORDINATOR"):
         jax.distributed.initialize()
 
