@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tce_rvos_tpu.ops.msda import SpatialShapes, level_splits
 
-DEFAULT_BQ = 512   # queries per block (separable)
+DEFAULT_BQ = 1024   # queries per block (separable)
 FLAT_BQ = 512      # queries per block (flat)
 FLAT_LEVEL_MAX_PIXELS = 1024  # levels at or below use the flat kernel
 
