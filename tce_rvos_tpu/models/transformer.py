@@ -122,6 +122,12 @@ class MSDeformAttnLayer(nn.Module):
             out = ms_deform_attn_pallas(value, spatial_shapes, loc, attn)
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn)
+        # named for the remat policy below: the MSDA output is saved across
+        # the layer checkpoint boundary so the backward pass does not re-run
+        # the (expensive) interpolation kernels — only cheap dense ops are
+        # rematerialized ([N, Q, C] f32 per layer is ~26 MB at flagship size)
+        from jax.ad_checkpoint import checkpoint_name
+        out = checkpoint_name(out, "msda_out")
         out = nn.Dense(self.d_model, kernel_init=xavier, name="output_proj")(out)
         return out, loc, attn
 
@@ -470,12 +476,13 @@ class DeformableTransformer(nn.Module):
         # activation remat per layer: at 25k tokens the encoder's saved
         # intermediates dominate training HBM (the flagship train step OOMs
         # a 16G chip without it); statics = spatial_shapes/num_frames/flag
+        save_msda = jax.checkpoint_policies.save_only_these_names("msda_out")
         enc_cls = (
-            nn.remat(EncoderLayer, static_argnums=(4, 9, 10))
+            nn.remat(EncoderLayer, static_argnums=(4, 9, 10), policy=save_msda)
             if self.use_checkpoint else EncoderLayer
         )
         dec_cls = (
-            nn.remat(DecoderLayer, static_argnums=(5, 7))
+            nn.remat(DecoderLayer, static_argnums=(5, 7), policy=save_msda)
             if self.use_checkpoint else DecoderLayer
         )
         for i in range(self.num_encoder_layers):
