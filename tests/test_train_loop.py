@@ -110,3 +110,32 @@ def test_cli_roundtrip_flagship_flags():
     assert cfg.num_classes == 1
     args2 = get_args_parser().parse_args(["--vlblock"])
     assert model_config_from_args(args2).vlblock is False
+
+
+def test_train_step_with_remat_policy():
+    """use_checkpoint=True remats every transformer layer with the
+    save-MSDA-outputs policy (the flagship train shape OOMs 16G HBM without
+    remat) — the rematted step must still produce finite losses and update
+    the encoder params."""
+    from tce_rvos_tpu.models.build import build_model, example_inputs
+    from tce_rvos_tpu.models.criterion import criterion_from_configs
+    from tce_rvos_tpu.parallel.train_step import create_train_state, make_train_step
+
+    cfg = ModelConfig(**TINY, f_token=2, qtrans=True, with_box_refine=True,
+                      use_checkpoint=True)
+    tcfg = TrainConfig()
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=1, t=2, hw=(32, 32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+    state, tx = create_train_state(variables, tcfg)
+    step = jax.jit(make_train_step(model.apply, tx, criterion_from_configs(cfg, tcfg)))
+
+    new_state, metrics = step(state, _make_batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    enc0 = jax.tree_util.tree_leaves(
+        state.params["transformer"]["encoder_layers_0"]
+    )[0]
+    enc1 = jax.tree_util.tree_leaves(
+        new_state.params["transformer"]["encoder_layers_0"]
+    )[0]
+    assert not np.allclose(np.asarray(enc0), np.asarray(enc1))
