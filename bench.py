@@ -25,6 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_GPU_CLIPS_PER_SEC = 8.0  # documented estimate, see module docstring
+# USEFUL forward FLOPs per clip, counted by XLA cost analysis on the
+# gather-oracle MSDA build (scripts/count_flops.py) — deformable attention
+# at its true 4*L*P-taps-per-query arithmetic, NOT the Pallas
+# dense-separable executed-FLOP blowup. v5e bf16 peak = 197 TFLOP/s.
+USEFUL_FLOPS_PER_CLIP = 1.239e12
+V5E_BF16_PEAK_FLOPS = 197e12
 
 T = 5
 H, W = 384, 640
@@ -109,11 +115,18 @@ def main():
     elapsed = time.perf_counter() - start
 
     clips_per_sec = ITERS * K / elapsed
+    device_ms = 1000.0 / clips_per_sec  # scan amortizes dispatch overhead
     result = {
         "metric": "ytvos_flagship_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 4),
         "unit": "clips/s (5x384x640 frames, resnet50+FTF8+IQT)",
         "vs_baseline": round(clips_per_sec / REFERENCE_GPU_CLIPS_PER_SEC, 4),
+        # absolute numbers so the headline doesn't rest on the +-40% GPU
+        # estimate alone: ms/clip and useful-FLOP MFU vs v5e bf16 peak
+        "device_ms": round(device_ms, 2),
+        "mfu": round(
+            USEFUL_FLOPS_PER_CLIP * clips_per_sec / V5E_BF16_PEAK_FLOPS, 4
+        ),
     }
     print(json.dumps(result))
 

@@ -1,0 +1,83 @@
+"""Name the individual fusion/copy ops in the flagship forward's device
+timeline (profile_model.py aggregates by prefix; this one keeps op
+identities and looks each top op up in the compiled HLO so the 'XLA
+fusions' / 'copy' buckets stop being anonymous)."""
+
+import collections
+import glob
+import gzip
+import json
+import re
+import sys
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+T, H, W = 5, 384, 640
+
+
+def main():
+    from tce_rvos_tpu.config import ModelConfig
+    from tce_rvos_tpu.models.build import build_model, example_inputs
+    from tce_rvos_tpu.utils.precision import apply_compute_dtype
+
+    dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
+    cfg = ModelConfig(with_box_refine=True, binary=True, f_token=8, qtrans=True,
+                      msda_impl="pallas", compute_dtype=dtype)
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=1, t=T, hw=(H, W), text_len=8)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+    variables, inputs = apply_compute_dtype(cfg, variables, inputs)
+
+    @jax.jit
+    def fwd(variables, **kw):
+        out = model.apply(variables, **kw)
+        return out["pred_masks"].sum()
+
+    lowered = fwd.lower(variables, **inputs)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    with open("/tmp/model_hlo.txt", "w") as fh:
+        fh.write(hlo)
+
+    # map "fusion.123" -> the fusion's root expression line (shape + op)
+    hlo_defs = {}
+    for line in hlo.splitlines():
+        m = re.match(r"\s*(?:ROOT )?%?([\w.-]+) = (.*)", line)
+        if m:
+            hlo_defs[m.group(1)] = m.group(2)[:240]
+
+    jax.block_until_ready(fwd(variables, **inputs))
+    tmp = tempfile.mkdtemp()
+    reps = 3
+    with jax.profiler.trace(tmp):
+        for _ in range(reps):
+            jax.block_until_ready(fwd(variables, **inputs))
+    p = glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True)[0]
+    with gzip.open(p) as fh:
+        tr = json.load(fh)
+    ev = tr["traceEvents"]
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    durs = collections.defaultdict(float)
+    cnt = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and "dur" in e and "TPU" in pids.get(e["pid"], ""):
+            name = e["name"]
+            if name.startswith("jit_"):
+                continue
+            durs[name] += e["dur"]
+            cnt[name] += 1
+    print(f"=== top individual ops ({dtype}) ===")
+    for k, v in sorted(durs.items(), key=lambda kv: -kv[1])[:60]:
+        defn = hlo_defs.get(k, "")
+        print(f"{v/reps/1e3:8.3f} ms x{cnt[k]//reps:3d}  {k[:46]:46s} {defn[:150]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Device-timeline profile of the flagship train step (the round-3
+counterpart of profile_model.py for training): aggregates the device
+timeline by op-name prefix so the ~400 ms/step decomposes into MSDA
+forward kernels, MSDA backward kernels, remat recompute, dense bwd
+matmuls, and the optimizer."""
+
+import collections
+import glob
+import gzip
+import json
+import re
+import sys
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+T, H, W = 5, 384, 640
+
+
+def main():
+    from tce_rvos_tpu.config import ModelConfig, TrainConfig
+    from tce_rvos_tpu.models.build import build_model, example_inputs
+    from tce_rvos_tpu.models.criterion import criterion_from_configs
+    from tce_rvos_tpu.parallel.train_step import create_train_state, make_train_step
+
+    impl = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+    cfg = ModelConfig(with_box_refine=True, binary=True, f_token=8, qtrans=True,
+                      msda_impl=impl, use_checkpoint=True)
+    tcfg = TrainConfig()
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=1, t=T, hw=(H, W), text_len=8)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+    state, tx = create_train_state(variables, tcfg, steps_per_epoch=1000)
+    step = make_train_step(model.apply, tx, criterion_from_configs(cfg, tcfg))
+
+    rng = np.random.RandomState(0)
+    batch = dict(inputs)
+    batch["targets"] = {
+        "labels": jnp.zeros((1, T), jnp.int32),
+        "boxes": jnp.asarray(rng.rand(1, T, 4), np.float32),
+        "masks": jnp.asarray((rng.rand(1, T, H, W) > 0.5).astype(np.float32)),
+        "valid": jnp.ones((1, T), jnp.int32),
+    }
+    r = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def one(state, batch, r):
+        st, metrics = step(state, batch, r)
+        return st, metrics["loss"]
+
+    st, loss = one(state, batch, r)
+    jax.block_until_ready(loss)
+    tmp = tempfile.mkdtemp()
+    reps = 2
+    with jax.profiler.trace(tmp):
+        for _ in range(reps):
+            st, loss = one(state, batch, r)
+            jax.block_until_ready(loss)
+    p = glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True)[0]
+    with gzip.open(p) as fh:
+        tr = json.load(fh)
+    ev = tr["traceEvents"]
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    durs = collections.defaultdict(float)
+    cnt = collections.Counter()
+    total = 0.0
+    for e in ev:
+        if e.get("ph") == "X" and "dur" in e and "TPU" in pids.get(e["pid"], ""):
+            name = e["name"]
+            if name.startswith("jit_"):
+                continue
+            total += e["dur"]
+            key = re.sub(r"[.\d]+$", "", name)
+            durs[key] += e["dur"]
+            cnt[key] += 1
+    print(f"=== device total: {total/reps/1e3:.2f} ms/step ({impl}) ===")
+    for k, v in sorted(durs.items(), key=lambda kv: -kv[1])[:45]:
+        print(f"{v/reps/1e3:9.3f} ms  x{cnt[k]//reps:4d}  {k[:70]}")
+
+
+if __name__ == "__main__":
+    main()

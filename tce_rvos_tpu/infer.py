@@ -171,7 +171,13 @@ class InferenceEngine:
         win = self.window
         if whole_video:
             win = max(-(-t_total // self.t_bucket) * self.t_bucket, self.t_bucket)
-        text_ids, text_attn = tokenize([caption], max_len=24)
+        # bucketed-longest tokenization, NO truncation: the reference pads
+        # to the longest expression and never truncates
+        # (models/tce_rvos.py:408) — a silent 24-token cap cut long MeViS /
+        # Ref-YouTube-VOS expressions mid-sentence (incl. EOS) and diverged
+        # the masks. Lengths are padded to a multiple of 8, so each length
+        # bucket is one jit compile (bounded).
+        text_ids, text_attn = tokenize([caption])
 
         logits_all, masks_all, boxes_all, refs_all, samples_all = [], [], [], [], []
         for start in range(0, t_total, win):

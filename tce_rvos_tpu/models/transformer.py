@@ -65,6 +65,10 @@ class MSDeformAttnLayer(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     impl: str = "xla"
+    # True iff the queries are the flattened level pixels in row-major
+    # order (encoder self-attention) — lets the Pallas kernel use banded
+    # value windows (ops/pallas_msda.py); semantics are unchanged
+    pixel_queries: bool = False
 
     @nn.compact
     def __call__(
@@ -119,7 +123,10 @@ class MSDeformAttnLayer(nn.Module):
         if self.impl == "pallas":
             from tce_rvos_tpu.ops.pallas_msda import ms_deform_attn_pallas
 
-            out = ms_deform_attn_pallas(value, spatial_shapes, loc, attn)
+            out = ms_deform_attn_pallas(
+                value, spatial_shapes, loc, attn,
+                pixel_queries=self.pixel_queries,
+            )
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn)
         # named for the remat policy below: the MSDA output is saved across
@@ -310,7 +317,7 @@ class EncoderLayer(nn.Module):
 
         src2, _, _ = MSDeformAttnLayer(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            impl=self.msda_impl, name="self_attn",
+            impl=self.msda_impl, pixel_queries=True, name="self_attn",
         )(with_pos(src, pos), reference_points, src, spatial_shapes, padding_mask)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(src)

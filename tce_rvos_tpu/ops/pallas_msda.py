@@ -13,28 +13,47 @@ contractions*:
 grid_sample's zero padding exactly — taps sliding off the border lose
 weight). The x-contraction becomes an MXU matmul
 
-    S1[P*BQ, D*H] = Wx[P*BQ, W] @ V_t[W, D*H]
+    S1[P*BQ, H*D] = Wx[P*BQ, W] @ V_t[W, H*D]
 
-with the level's value tile pre-transposed to [W, D*H] (d-major lanes), the
-wide y-factor built from iota arithmetic (lane % H), and the y-reduction a
-fold matmul against an exact 0/1 matrix. Per grid cell (batch n, head m,
-query block) everything lives in VMEM; no HBM gather traffic at all.
+with the level's value tile pre-transposed to [W, H*D] (y-major lanes:
+lane = y*D + d), the wide y-factor built from iota arithmetic
+(lane // D -> y, a shift since D is a power of two), and the y-reduction a
+fold matmul against an exact 0/1 matrix. Per grid cell everything lives in
+VMEM; no HBM gather traffic at all.
 
 Two variants, dispatched by level size:
   * separable (levels above FLAT_LEVEL_MAX_PIXELS pixels): as above;
   * flat (all small levels MERGED into one kernel): each level's full 2D
     interpolation rows from iota arithmetic, concatenated along lanes, one
-    [BQ, sum HW] @ [sum HW, D] matmul (each grid cell costs ~2 us fixed —
-    merging matters for tiny levels).
+    [BQ, sum HW] @ [sum HW, D] matmul.
 
-Round-2 device-profile-driven choices (full anatomy + measured dead ends in
-BASELINE.md):
+Round-3 structure (device-profile-driven; anatomy in BASELINE.md):
+
+  * ALL HEADS PER GRID CELL: each cell is (batch n, query block); the M
+    heads loop inside the kernel and write static lane slices of one
+    [BQ, M*D] output block. The former per-head grids paid ~2 us fixed
+    per cell 8x over, and their [N, M, Qp, D] outputs needed a
+    0.28 ms/call transpose+combine epilogue — the output is now directly
+    the [N, Q, M*D] layout the model consumes.
+  * BANDED VALUE WINDOWS: encoder self-attention queries are the level's
+    pixels in row-major order, so a query block spans few value rows and
+    its taps live in a narrow y-band unless learned offsets are extreme.
+    Per (batch, block) band starts are computed from the actual sampling
+    locations (data-driven min/max) and passed via scalar prefetch; the
+    kernel dynamically slices the value window (SEP_BAND_ROWS rows for the
+    separable level, FLAT_BAND_ROWS for the largest flat level), shrinking
+    both the S1 matmul and the wide y-factor build. Exactness is preserved
+    by a `lax.cond` fallback: if ANY block's taps escape its band, the
+    whole call runs the full-height kernel instead (the oracle-parity
+    contract holds for arbitrary offsets). Banding applies to the query
+    blocks fully inside the level-0 pixel prefix (``pixel_queries=True``,
+    set by the encoder); decoder/FTF calls (tiny Q) are never banded.
   * ATTN-WEIGHTED POINT PRE-SUM: the final matmuls are linear in the
     interpolation weights, so the P sampling points are summed BEFORE the
-    matmul — the N=D=32-lane MXU passes stop paying 4x for pad lanes;
+    narrow fold matmul.
   * loc/attn arrive as ONE Q-MAJOR pack [N, M, Qp, L*P*3] (queries in
-    sublanes end to end; no Q-minor relayout, no in-kernel transposes);
-  * tiny query sets (decoder Q=5, FTF tokens Q=8) use 128-query blocks.
+    sublanes end to end; no in-kernel transposes); tiny query sets
+    (decoder Q=5, FTF tokens Q=8) use one 128-query block.
 
 The backward is the ANALYTIC Pallas equivalent of the CUDA col2im kernels
 (ops/pallas_msda_bwd.py): same dense-separable matmul shapes, 11x over
@@ -44,7 +63,7 @@ autodiff-through-the-gather-fallback.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,269 +72,351 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tce_rvos_tpu.ops.msda import SpatialShapes, level_splits
 
-DEFAULT_BQ = 1024   # queries per block (separable)
-FLAT_BQ = 512      # queries per block (flat)
+DEFAULT_BQ = 640   # queries per block (8 rows of the flagship 48x80 level)
+TINY_BQ = 128      # single block for decoder (Q=5) / FTF token (Q=8) calls
 FLAT_LEVEL_MAX_PIXELS = 1024  # levels at or below use the flat kernel
+SEP_BAND_ROWS = 24   # banded separable: value rows per query block window
+FLAT_BAND_ROWS = 16  # banded flat (largest flat level): rows per window
+
+# the analytic backward (ops/pallas_msda_bwd.py) keeps its own per-head
+# kernels and block sizes — independent of the forward's layout
+BWD_SEP_BQ = 1024
+BWD_FLAT_BQ = 512
+
+_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
-def _msda_level_kernel(
-    qa_ref,    # [1, 1, BQ, L*P*3]  (Q-MAJOR: loc rows then attn rows)
-    v_ref,     # [1, 1, W, D*H]  (rows = x, lanes = d-major (d*H + y))
-    out_ref,   # [1, 1, BQ, D]
-    *,
+def _sep_kernel_ah(
+    *refs,
     h: int,
     w: int,
     d: int,
+    m: int,
     p: int,
     bq: int,
     lvl: int,
     nlvl: int,
+    hb: int,
+    banded: bool,
 ):
+    """Separable-level kernel, all heads per cell.
+
+    refs: (band_ref?, qa_ref, v_ref, out_ref)
+      qa_ref  [1, M, BQ, L*P*3]  Q-major loc rows then attn rows
+      v_ref   [1, M, W, H*D]     y-major lanes (lane = y*D + d)
+      out_ref [1, BQ, M*D]
+    """
+    if banded:
+        band_ref, qa_ref, v_ref, out_ref = refs
+        band = band_ref[pl.program_id(0), pl.program_id(1)]
+        band_f = band.astype(jnp.float32)
+    else:
+        qa_ref, v_ref, out_ref = refs
+        band_f = jnp.float32(0.0)
+
     xs = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1).astype(jnp.float32)
-    # binary fold matrix G[c*H + y, c'] = (c == c'): the y-reduction of a
-    # d-major lane vector becomes one matmul (no lane reshapes, which Mosaic
-    # does not support). d-major because pltpu.repeat TILES its input:
-    # repeat(wy[H], d) = [wy, wy, ...] -> lane index c*H + y.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h * d, d), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h * d, d), 1)
-    fold = (rows // h == cols).astype(jnp.bfloat16)     # [D*H, D] exact 0/1
-
-    v_t = v_ref[0, 0]      # [W, D*H]
-
-    # loc/attn arrive Q-MAJOR (queries in sublanes) — column extraction is a
-    # static lane slice; the former Q-minor layout cost an in-kernel
-    # [rows, BQ] transpose measured at ~2 ms/call at this level's size
-    qa_t = qa_ref[0, 0]    # [BQ, L*P*3]
-
-    def col(which, row):
-        if which == "loc":
-            r = lvl * p * 2 + row
-        else:
-            r = nlvl * p * 2 + lvl * p + row
-        return qa_t[:, r : r + 1]
-
-    # stack the P points along sublanes -> ONE MXU matmul; attn is folded
-    # into the narrow x-factor (everything downstream is linear in it)
-    wx_all = jnp.concatenate(
-        [
-            jnp.maximum(
-                0.0, 1.0 - jnp.abs(xs - (col("loc", 2 * pi) * w - 0.5))
-            )
-            * col("attn", pi)
-            for pi in range(p)
-        ],
-        axis=0,
-    )  # [P*BQ, W]
-    s1 = jnp.dot(
-        wx_all.astype(jnp.bfloat16), v_t.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16)  # f32 accum (Mosaic requirement), bf16 elementwise
-    # wide d-major y-factor built directly from iota (lane % H -> y);
-    # pltpu.repeat of the narrow [*, H] factor is slower here — tiling a
-    # non-128-multiple lane width is all lane rotations
-    ys_wide = (
-        jax.lax.broadcasted_iota(jnp.int32, (bq, h * d), 1) % h
+    # y-major lanes: lane // D -> y offset within the band (D power of two)
+    lane_y = (
+        jax.lax.broadcasted_iota(jnp.int32, (bq, hb * d), 1) // d
     ).astype(jnp.float32)
-    wy_all = jnp.concatenate(
-        [
-            jnp.maximum(
-                0.0, 1.0 - jnp.abs(ys_wide - (col("loc", 2 * pi + 1) * h - 0.5))
-            )
-            for pi in range(p)
-        ],
-        axis=0,
-    ).astype(jnp.bfloat16)  # [P*BQ, D*H]
-    s2 = s1 * wy_all
-    # the fold is LINEAR: sum the attn-weighted points FIRST, shrinking the
-    # N=D-narrow fold matmul's rows P-fold (device profile: the [P*BQ, D*H]
-    # fold was ~40% of this kernel)
-    s2w = s2[:bq]
-    for pi in range(1, p):
-        s2w = s2w + s2[pi * bq : (pi + 1) * bq]
-    out_ref[0, 0] = jnp.dot(
-        s2w, fold, preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+    # binary fold matrix G[y*D + c, c'] = (c == c'): the y-reduction of a
+    # y-major lane vector is one matmul (no lane reshapes, which Mosaic
+    # does not support)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hb * d, d), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hb * d, d), 1)
+    fold = (rows % d == cols).astype(jnp.bfloat16)  # [HB*D, D] exact 0/1
+
+    for mi in range(m):
+        qa_t = qa_ref[0, mi]  # [BQ, L*P*3]
+
+        def col(which, row):
+            if which == "loc":
+                r = lvl * p * 2 + row
+            else:
+                r = nlvl * p * 2 + lvl * p + row
+            return qa_t[:, r : r + 1]
+
+        # stack the P points along sublanes -> ONE MXU matmul; attn is
+        # folded into the narrow x-factor (everything downstream is linear)
+        wx_all = jnp.concatenate(
+            [
+                jnp.maximum(
+                    0.0, 1.0 - jnp.abs(xs - (col("loc", 2 * pi) * w - 0.5))
+                )
+                * col("attn", pi)
+                for pi in range(p)
+            ],
+            axis=0,
+        )  # [P*BQ, W]
+        if banded:
+            off = pl.multiple_of(band * d, 128)
+            v_t = v_ref[0, mi, :, pl.ds(off, hb * d)]
+        else:
+            v_t = v_ref[0, mi]
+        s1 = jnp.dot(
+            wx_all.astype(jnp.bfloat16), v_t.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)  # [P*BQ, HB*D]
+        wy_all = jnp.concatenate(
+            [
+                jnp.maximum(
+                    0.0,
+                    1.0
+                    - jnp.abs(
+                        lane_y + band_f - (col("loc", 2 * pi + 1) * h - 0.5)
+                    ),
+                )
+                for pi in range(p)
+            ],
+            axis=0,
+        ).astype(jnp.bfloat16)  # [P*BQ, HB*D]
+        s2 = s1 * wy_all
+        # the fold is LINEAR: sum the attn-weighted points FIRST, shrinking
+        # the D-narrow fold matmul's rows P-fold
+        s2w = s2[:bq]
+        for pi in range(1, p):
+            s2w = s2w + s2[pi * bq : (pi + 1) * bq]
+        out_ref[0, :, mi * d : (mi + 1) * d] = jnp.dot(
+            s2w, fold, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
 
 
-def _msda_multilevel_kernel_flat(
-    qa_ref,    # [1, 1, BQ, L*P*3]  (Q-MAJOR: loc rows then attn rows)
-    v_ref,     # [1, 1, sum HW_l, D]  (flat row-major pixels, levels stacked)
-    out_ref,   # [1, 1, BQ, D]
-    *,
+def _flat_kernel_ah(
+    *refs,
     shapes: SpatialShapes,       # the flat levels' (H, W)
     lvl_idx: Tuple[int, ...],    # their level indices into loc/attn rows
     nlvl: int,
     d: int,
+    m: int,
     p: int,
     bq: int,
+    hb1: int,
+    banded: bool,
 ):
-    """All small levels in ONE kernel: build each level's 2D interpolation
-    rows W2d[q, y*W+x] = relu(1-|y-py|)*relu(1-|x-px|)*attn from iota
-    arithmetic (pltpu.repeat-tiled narrow factors were tried and are 3x
-    SLOWER — tiling a non-128-multiple lane width is all lane rotations),
-    concat along lanes, and take every level's taps with ONE
-    [BQ, sum HW] @ [sum HW, D] matmul, P points pre-summed (linearity).
-    Merging levels matters because each grid cell costs ~2 us fixed
-    (device-profiled: the 60-pixel level measured 0.82 ms for ~0.1 ms of
-    work across 400 cells)."""
-    v = v_ref[0, 0].astype(jnp.bfloat16)  # [sum HW, D]
-    qa_t = qa_ref[0, 0]                   # [BQ, L*P*3] Q-major
+    """All small levels in ONE kernel, all heads per cell: build each
+    level's 2D interpolation rows W2d[q, y*W+x] from iota arithmetic,
+    concat along lanes, one [BQ, sum HW] @ [sum HW, D] matmul per head
+    with the P points pre-summed (linearity). When ``banded`` the FIRST
+    (largest) flat level's rows are windowed to hb1 rows via a dynamic
+    sublane slice.
 
-    def col(row):
-        return qa_t[:, row : row + 1]
+    refs: (band_ref?, qa_ref, v_ref, out_ref)
+      v_ref [1, M, sum HW, D] (flat row-major pixels, levels stacked)
+    """
+    if banded:
+        band_ref, qa_ref, v_ref, out_ref = refs
+        band1 = band_ref[pl.program_id(0), pl.program_id(1)]
+    else:
+        qa_ref, v_ref, out_ref = refs
 
-    segs = []
-    for (h, w), lvl in zip(shapes, lvl_idx):
-        lane = jax.lax.broadcasted_iota(jnp.int32, (bq, h * w), 1)
-        lane_y = (lane // w).astype(jnp.float32)
-        lane_x = (lane % w).astype(jnp.float32)
+    for mi in range(m):
+        qa_t = qa_ref[0, mi]  # [BQ, L*P*3]
 
-        seg = sum(
-            jnp.maximum(
-                0.0,
-                1.0
-                - jnp.abs(
-                    lane_x - (col(lvl * p * 2 + 2 * pi) * w - 0.5)
-                ),
+        def col(row):
+            return qa_t[:, row : row + 1]
+
+        segs = []
+        v_segs = []
+        row_off = 0
+        for si, ((h, w), lvl) in enumerate(zip(shapes, lvl_idx)):
+            if banded and si == 0:
+                nrow = hb1
+                y_base = band1.astype(jnp.float32)
+                v_seg = v_ref[0, mi, pl.ds(band1 * w, hb1 * w), :]
+            else:
+                nrow = h
+                y_base = jnp.float32(0.0)
+                v_seg = v_ref[0, mi, row_off : row_off + h * w, :]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bq, nrow * w), 1)
+            lane_y = (lane // w).astype(jnp.float32) + y_base
+            lane_x = (lane % w).astype(jnp.float32)
+
+            seg = sum(
+                jnp.maximum(
+                    0.0,
+                    1.0
+                    - jnp.abs(lane_x - (col(lvl * p * 2 + 2 * pi) * w - 0.5)),
+                )
+                * jnp.maximum(
+                    0.0,
+                    1.0
+                    - jnp.abs(
+                        lane_y - (col(lvl * p * 2 + 2 * pi + 1) * h - 0.5)
+                    ),
+                )
+                * col(nlvl * p * 2 + lvl * p + pi)
+                for pi in range(p)
             )
-            * jnp.maximum(
-                0.0,
-                1.0
-                - jnp.abs(
-                    lane_y - (col(lvl * p * 2 + 2 * pi + 1) * h - 0.5)
-                ),
-            )
-            * col(nlvl * p * 2 + lvl * p + pi)
-            for pi in range(p)
-        )
-        segs.append(seg)
-    w2d = jnp.concatenate(segs, axis=1).astype(jnp.bfloat16)  # [BQ, sum HW]
-
-    out_ref[0, 0] = jnp.dot(
-        w2d, v, preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+            segs.append(seg)
+            v_segs.append(v_seg.astype(jnp.bfloat16))
+            row_off += h * w
+        w2d = jnp.concatenate(segs, axis=1).astype(jnp.bfloat16)
+        v_all = v_segs[0] if len(v_segs) == 1 else jnp.concatenate(v_segs, 0)
+        out_ref[0, :, mi * d : (mi + 1) * d] = jnp.dot(
+            w2d, v_all, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
 
 
-def _msda_sep_level_pallas(
-    value_t: jnp.ndarray,   # [N, M, W, D*H] (d-major lanes)
-    qa: jnp.ndarray,        # [N, M, Qp, L*P*3] (Q-major loc+attn)
+def _run_sep(
+    v_y: jnp.ndarray,    # [N, M, W, H*D] (y-major lanes)
+    qa: jnp.ndarray,     # [N, M, Qp, L*P*3]
+    band: Optional[jnp.ndarray],  # [N, nblk] int32 row starts, or None
     lvl: int,
     nlvl: int,
     h: int,
     w: int,
     p: int,
-    block_q: int = DEFAULT_BQ,
+    bq: int,
+    hb: int,
+    blk_off: int,
+    nblk: int,
+    out_dtype,
 ) -> jnp.ndarray:
-    n, m, qp, _ = qa.shape
-    d = value_t.shape[-1] // h
-    grid = (n, m, qp // block_q)
+    n, m, _, k = qa.shape
+    d = v_y.shape[-1] // h
+    kernel = functools.partial(
+        _sep_kernel_ah, h=h, w=w, d=d, m=m, p=p, bq=bq, lvl=lvl, nlvl=nlvl,
+        hb=hb, banded=band is not None,
+    )
+    qa_spec = pl.BlockSpec(
+        (1, m, bq, k), lambda ni, qi, *_: (ni, 0, qi + blk_off, 0),
+        memory_space=pltpu.VMEM,
+    )
+    v_spec = pl.BlockSpec(
+        (1, m, w, h * d), lambda ni, qi, *_: (ni, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, bq, m * d), lambda ni, qi, *_: (ni, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n, nblk * bq, m * d), out_dtype)
+    cost = pl.CostEstimate(
+        flops=2 * n * m * nblk * bq * p * w * hb * d,
+        bytes_accessed=n * m * w * h * d * 4 + n * nblk * bq * m * k * 4,
+        transcendentals=0,
+    )
+    if band is not None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n, nblk),
+            in_specs=[qa_spec, v_spec],
+            out_specs=out_spec,
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=_LIMIT, cost_estimate=cost,
+        )(band, qa, v_y)
+    return pl.pallas_call(
+        kernel, grid=(n, nblk), in_specs=[qa_spec, v_spec],
+        out_specs=out_spec, out_shape=out_shape,
+        compiler_params=_LIMIT, cost_estimate=cost,
+    )(qa, v_y)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _msda_level_kernel, h=h, w=w, d=d, p=p, bq=block_q, lvl=lvl,
-            nlvl=nlvl,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, qa.shape[3]),
-                lambda ni, mi, qi: (ni, mi, qi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, w, d * h),
-                lambda ni, mi, qi: (ni, mi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d),
-            lambda ni, mi, qi: (ni, mi, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, m, qp, d), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * m * qp * p * w * h * d,
-            bytes_accessed=n * m * w * h * d * 4 + n * qp * m * p * 3 * 4,
-            transcendentals=0,
-        ),
-    )(qa, value_t)
-    return out  # [N, M, Qp, D]
 
-
-def _msda_flat_levels_pallas(
-    value_t: jnp.ndarray,   # [N, M, sum HW, D] (flat levels stacked)
-    qa: jnp.ndarray,        # [N, M, Qp, L*P*3] (Q-major loc+attn)
-    shapes: SpatialShapes,  # the flat levels' (H, W)
+def _run_flat(
+    v_f: jnp.ndarray,    # [N, M, sum HW, D]
+    qa: jnp.ndarray,     # [N, M, Qp, L*P*3]
+    band: Optional[jnp.ndarray],  # [N, nblk] int32 (first level's rows)
+    shapes: SpatialShapes,
     lvl_idx: Tuple[int, ...],
     nlvl: int,
     p: int,
-    block_q: int = FLAT_BQ,
+    bq: int,
+    hb1: int,
+    blk_off: int,
+    nblk: int,
+    out_dtype,
 ) -> jnp.ndarray:
-    n, m, qp, _ = qa.shape
-    d = value_t.shape[-1]
-    sum_hw = value_t.shape[2]
-    grid = (n, m, qp // block_q)
+    n, m, _, k = qa.shape
+    d = v_f.shape[-1]
+    sum_hw = v_f.shape[2]
+    kernel = functools.partial(
+        _flat_kernel_ah, shapes=shapes, lvl_idx=lvl_idx, nlvl=nlvl, d=d, m=m,
+        p=p, bq=bq, hb1=hb1, banded=band is not None,
+    )
+    qa_spec = pl.BlockSpec(
+        (1, m, bq, k), lambda ni, qi, *_: (ni, 0, qi + blk_off, 0),
+        memory_space=pltpu.VMEM,
+    )
+    v_spec = pl.BlockSpec(
+        (1, m, sum_hw, d), lambda ni, qi, *_: (ni, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, bq, m * d), lambda ni, qi, *_: (ni, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n, nblk * bq, m * d), out_dtype)
+    cost = pl.CostEstimate(
+        flops=2 * n * m * nblk * bq * p * sum_hw * d,
+        bytes_accessed=n * m * sum_hw * d * 4 + n * nblk * bq * m * k * 4,
+        transcendentals=0,
+    )
+    if band is not None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n, nblk),
+            in_specs=[qa_spec, v_spec],
+            out_specs=out_spec,
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=_LIMIT, cost_estimate=cost,
+        )(band, qa, v_f)
+    return pl.pallas_call(
+        kernel, grid=(n, nblk), in_specs=[qa_spec, v_spec],
+        out_specs=out_spec, out_shape=out_shape,
+        compiler_params=_LIMIT, cost_estimate=cost,
+    )(qa, v_f)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _msda_multilevel_kernel_flat,
-            shapes=shapes, lvl_idx=lvl_idx, nlvl=nlvl, d=d, p=p, bq=block_q,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, qa.shape[3]),
-                lambda ni, mi, qi: (ni, mi, qi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, sum_hw, d),
-                lambda ni, mi, qi: (ni, mi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d),
-            lambda ni, mi, qi: (ni, mi, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, m, qp, d), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * m * qp * p * sum_hw * d,
-            bytes_accessed=n * m * sum_hw * d * 4 + n * qp * m * p * 3 * 4,
-            transcendentals=0,
-        ),
-    )(qa, value_t)
-    return out  # [N, M, Qp, D]
+
+def _band_and_escape(
+    py: jnp.ndarray,  # [N, Q0, M, P] absolute pixel rows for the level
+    nblk: int,
+    bq: int,
+    h: int,
+    hb: int,
+    quant: int,
+):
+    """Data-driven per-(batch, block) band starts + global escape flag.
+
+    A tap at row coordinate py touches integer rows floor(py) and
+    floor(py)+1; the band [start, start+hb) must contain every touched
+    in-image row or the banded kernel would drop weight — ``escape`` is
+    True iff any block's taps exceed its window (the caller then falls
+    back to the full-height kernel, keeping exactness for ANY offsets).
+    ``quant`` keeps the start lane/sublane-aligned (4 rows for the
+    separable level's lane slice: 4*D = 128 lanes)."""
+    n = py.shape[0]
+    b = py.reshape(n, nblk, -1)
+    lo = jnp.clip(
+        jnp.floor(jnp.min(b, axis=2)).astype(jnp.int32), 0, max(h - hb, 0)
+    )
+    lo = (lo // quant) * quant
+    hi_row = jnp.minimum(
+        jnp.floor(jnp.max(b, axis=2)).astype(jnp.int32) + 1, h - 1
+    )
+    escape = jnp.any(hi_row > lo + (hb - 1))
+    return lo, escape
 
 
-def _forward_from_hm(value_hm, spatial_shapes, loc, attn, out_dtype):
+def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
+                     pixel_queries=False):
     """Shared forward given head-major value [N, M, S, D] (bf16)."""
-    n, m, s, d = value_hm.shape
+    n, m, s, d = value_nm.shape
     q = loc.shape[1]
     starts = level_splits(spatial_shapes)
     nlvl = len(spatial_shapes)
     p = loc.shape[4]
-    # ONE Q-MAJOR loc+attn pack [N, M, Qp, L*P*3]: the kernels slice columns
-    # directly (queries stay in sublanes end to end) — both the old XLA-side
-    # Q-minor relayout and the in-kernel [rows, BQ] transposes (~2 ms/call
-    # at encoder size, device-ablated) disappear. The (0,2,1,3) transpose
-    # moves only the small head axis with 48-float contiguous runs.
-    # Tiny query sets (decoder cross-attn Q=5, FTF tokens Q=8) use a 128
-    # block so they don't burn 4x their work interpolating pad queries.
-    if q <= 128:
-        sep_bq = flat_bq = 128
-    else:
-        sep_bq, flat_bq = DEFAULT_BQ, FLAT_BQ
-    pad = (-q) % max(sep_bq, flat_bq)
+
+    bq = TINY_BQ if q <= TINY_BQ else DEFAULT_BQ
+    pad = (-q) % bq
     qp = q + pad
+    nblk = qp // bq
+    # ONE Q-MAJOR loc+attn pack [N, M, Qp, L*P*3]: the kernels slice columns
+    # directly (queries stay in sublanes end to end); the (0,2,1,3)
+    # transpose moves only the small head axis with 48-float contiguous runs
     qa = jnp.concatenate(
         [loc.reshape(n, q, m, nlvl * p * 2), attn.reshape(n, q, m, nlvl * p)],
         axis=-1,
@@ -326,64 +427,136 @@ def _forward_from_hm(value_hm, spatial_shapes, loc, attn, out_dtype):
         lvl for lvl, (h, w) in enumerate(spatial_shapes)
         if h * w > FLAT_LEVEL_MAX_PIXELS
     ]
-    flat_lvls = [
-        lvl for lvl in range(nlvl) if lvl not in sep_lvls
-    ]
-    out = jnp.zeros((n, m, qp, d), dtype=jnp.float32)
+    flat_lvls = [lvl for lvl in range(nlvl) if lvl not in sep_lvls]
+
+    # banded prefix: the query blocks fully inside the level-0 pixel range
+    # (encoder self-attention: queries ARE the level pixels in row-major
+    # order, so those blocks' taps are spatially local)
+    nb0 = 0
+    if pixel_queries and sep_lvls[:1] == [0]:
+        h0, w0 = spatial_shapes[0]
+        # lane-slice alignment: the band window (SEP_BAND_ROWS*D lanes) and
+        # its start quantum (4 rows * D) must be 128-lane multiples
+        if (
+            h0 - SEP_BAND_ROWS >= 8
+            and (SEP_BAND_ROWS * d) % 128 == 0
+            and 128 % d == 0
+        ):
+            nb0 = min(h0 * w0 // bq, nblk)
+    groups = [(0, nb0), (nb0, nblk - nb0)] if nb0 else [(0, nblk)]
+
+    outs = [None] * len(groups)
+
+    def acc(gi, val):
+        outs[gi] = val if outs[gi] is None else outs[gi] + val
+
     for lvl in sep_lvls:
         h, w = spatial_shapes[lvl]
-        v_t = (
-            value_hm[:, :, starts[lvl] : starts[lvl + 1]]
+        v_y = (
+            value_nm[:, :, starts[lvl] : starts[lvl + 1]]
             .reshape(n, m, h, w, d)
-            .transpose(0, 1, 3, 4, 2)                     # [N, M, W, D, H]
-            .reshape(n, m, w, d * h)                      # d-major lanes
+            .transpose(0, 1, 3, 2, 4)                     # [N, M, W, H, D]
+            .reshape(n, m, w, h * d)                      # y-major lanes
         )
-        out = out + _msda_sep_level_pallas(
-            v_t, qa, lvl, nlvl, h, w, p, block_q=sep_bq
+        run = functools.partial(
+            _run_sep, v_y, qa, lvl=lvl, nlvl=nlvl, h=h, w=w, p=p, bq=bq,
+            out_dtype=out_dtype,
         )
+        for gi, (off, cnt) in enumerate(groups):
+            if cnt == 0:
+                continue
+            if gi == 0 and nb0 and lvl == 0:
+                py = loc[:, : nb0 * bq, :, 0, :, 1] * h - 0.5
+                band, esc = _band_and_escape(
+                    py, nb0, bq, h, SEP_BAND_ROWS, quant=max(128 // d, 1)
+                )
+                acc(gi, jax.lax.cond(
+                    esc,
+                    lambda: run(band=None, hb=h, blk_off=0, nblk=nb0),
+                    lambda: run(
+                        band=band, hb=SEP_BAND_ROWS, blk_off=0, nblk=nb0
+                    ),
+                ))
+            else:
+                acc(gi, run(band=None, hb=h, blk_off=off, nblk=cnt))
+
     if flat_lvls:
         # flat levels are always a contiguous tail (levels shrink 2x each)
         assert flat_lvls == list(range(flat_lvls[0], nlvl)), flat_lvls
-        v_t = value_hm[:, :, starts[flat_lvls[0]] : starts[nlvl]]
-        out = out + _msda_flat_levels_pallas(
-            v_t, qa,
-            tuple(spatial_shapes[lvl] for lvl in flat_lvls),
-            tuple(flat_lvls), nlvl, p, block_q=flat_bq,
+        v_f = value_nm[:, :, starts[flat_lvls[0]] : starts[nlvl]]
+        shapes_f = tuple(spatial_shapes[lvl] for lvl in flat_lvls)
+        run = functools.partial(
+            _run_flat, v_f, qa, shapes=shapes_f, lvl_idx=tuple(flat_lvls),
+            nlvl=nlvl, p=p, bq=bq, out_dtype=out_dtype,
         )
-    out = out.transpose(0, 2, 1, 3)[:, :q]                    # [N, Q, M, D]
-    return out.reshape(n, q, m * d).astype(out_dtype)
+        h1, w1 = shapes_f[0]
+        can_band = (
+            nb0 > 0 and h1 - FLAT_BAND_ROWS >= 4
+            and h1 * w1 > FLAT_LEVEL_MAX_PIXELS // 2
+            and w1 % 8 == 0  # sublane-aligned dynamic row starts
+        )
+        for gi, (off, cnt) in enumerate(groups):
+            if cnt == 0:
+                continue
+            if gi == 0 and can_band:
+                py1 = loc[:, : nb0 * bq, :, flat_lvls[0], :, 1] * h1 - 0.5
+                band1, esc1 = _band_and_escape(
+                    py1, nb0, bq, h1, FLAT_BAND_ROWS, quant=1
+                )
+                acc(gi, jax.lax.cond(
+                    esc1,
+                    lambda: run(band=None, hb1=0, blk_off=0, nblk=nb0),
+                    lambda: run(
+                        band=band1, hb1=FLAT_BAND_ROWS, blk_off=0, nblk=nb0
+                    ),
+                ))
+            else:
+                acc(gi, run(band=None, hb1=0, blk_off=off, nblk=cnt))
+
+    parts = [o for o in outs if o is not None]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    return out[:, :q].astype(out_dtype)  # [N, Q, M*D]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
 def ms_deform_attn_pallas(
     value: jnp.ndarray,
     spatial_shapes: SpatialShapes,
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    pixel_queries: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.msda.ms_deform_attn (same signature,
-    same semantics), forward on the Pallas kernel. value: [N, S, M, D]."""
-    return _forward(value, spatial_shapes, sampling_locations, attention_weights)
+    same semantics), forward on the Pallas kernel. value: [N, S, M, D].
+    ``pixel_queries=True`` declares that the queries are the flattened
+    level pixels in row-major order (encoder self-attention) — enables the
+    banded value windows; semantics are unchanged either way."""
+    return _forward(value, spatial_shapes, sampling_locations,
+                    attention_weights, pixel_queries)
 
 
-def _forward(value, spatial_shapes, loc, attn):
+def _forward(value, spatial_shapes, loc, attn, pixel_queries=False):
     # ONE head-major transpose + bf16 cast for the whole pyramid (profiled
-    # at well under 1 ms — round-1's "6 ms relayout" anatomy was wrong)
-    value_hm = value.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # [N, M, S, D]
-    return _forward_from_hm(value_hm, spatial_shapes, loc, attn, value.dtype)
+    # at well under 1 ms)
+    value_nm = value.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # [N, M, S, D]
+    return _forward_from_nm(value_nm, spatial_shapes, loc, attn, value.dtype,
+                            pixel_queries)
 
 
 def _bwd_block_sizes(q: int):
     if q <= 128:
         return 128, 128
-    return DEFAULT_BQ, FLAT_BQ
+    return BWD_SEP_BQ, BWD_FLAT_BQ
 
 
-def _fwd(value, spatial_shapes, loc, attn):
-    return _forward(value, spatial_shapes, loc, attn), (value, loc, attn)
+def _fwd(value, spatial_shapes, loc, attn, pixel_queries=False):
+    return (
+        _forward(value, spatial_shapes, loc, attn, pixel_queries),
+        (value, loc, attn),
+    )
 
 
-def _bwd(spatial_shapes, res, g):
+def _bwd(spatial_shapes, pixel_queries, res, g):
     from tce_rvos_tpu.ops.pallas_msda_bwd import msda_backward_hm
 
     value, loc, attn = res
@@ -398,6 +571,50 @@ def _bwd(spatial_shapes, res, g):
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def ms_deform_attn_pallas_nm(
+    value_nm: jnp.ndarray,
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    pixel_queries: bool = False,
+) -> jnp.ndarray:
+    """Head-major variant: ``value_nm`` is [N, M, S, D] (as produced by a
+    per-head batched projection, e.g. einsum('nsc,cmd->nmsd')). Semantics
+    identical to ``ms_deform_attn_pallas(value_nm.transpose(0,2,1,3), ...)``
+    without the [N,S,M,D] -> [N,M,S,D] relayout; the backward likewise
+    returns the gradient in [N, M, S, D]."""
+    return _forward_from_nm(
+        value_nm.astype(jnp.bfloat16), spatial_shapes, sampling_locations,
+        attention_weights, value_nm.dtype, pixel_queries,
+    )
+
+
+def _fwd_nm(value_nm, spatial_shapes, loc, attn, pixel_queries=False):
+    return (
+        _forward_from_nm(
+            value_nm.astype(jnp.bfloat16), spatial_shapes, loc, attn,
+            value_nm.dtype, pixel_queries,
+        ),
+        (value_nm, loc, attn),
+    )
+
+
+def _bwd_nm(spatial_shapes, pixel_queries, res, g):
+    from tce_rvos_tpu.ops.pallas_msda_bwd import msda_backward_hm
+
+    value_nm, loc, attn = res
+    sep_bq, flat_bq = _bwd_block_sizes(loc.shape[1])
+    dv_nm, dloc, dattn = msda_backward_hm(
+        value_nm, spatial_shapes, loc, attn, g,
+        sep_bq, flat_bq, FLAT_LEVEL_MAX_PIXELS,
+    )
+    return dv_nm.astype(value_nm.dtype), dloc, dattn
+
+
+ms_deform_attn_pallas_nm.defvjp(_fwd_nm, _bwd_nm)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def ms_deform_attn_pallas_hm(
     value_hm: jnp.ndarray,
@@ -405,17 +622,17 @@ def ms_deform_attn_pallas_hm(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Head-major variant: ``value_hm`` is [M, N, S, D] (as produced by a
-    per-head batched projection, e.g. einsum('nsc,mcd->mnsd')). Semantics
+    """Head-leading variant: ``value_hm`` is [M, N, S, D]. Semantics
     identical to ``ms_deform_attn_pallas(value_hm.transpose(1,2,0,3), ...)``
     without the [N,S,M,D] -> [N,M,S,D] transpose."""
-    return _forward_hm(value_hm, spatial_shapes, sampling_locations, attention_weights)
+    return _forward_hm(value_hm, spatial_shapes, sampling_locations,
+                       attention_weights)
 
 
 def _forward_hm(value_hm, spatial_shapes, loc, attn):
     out_dtype = value_hm.dtype
-    value_nm = value_hm.transpose(1, 0, 2, 3).astype(jnp.bfloat16)  # [N, M, S, D]
-    return _forward_from_hm(value_nm, spatial_shapes, loc, attn, out_dtype)
+    value_nm = value_hm.transpose(1, 0, 2, 3).astype(jnp.bfloat16)
+    return _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype)
 
 
 def _fwd_hm(value_hm, spatial_shapes, loc, attn):

@@ -181,3 +181,41 @@ def test_ytvos_device_fanout_matches_serial(ytvos_two_videos, tmp_path):
             a = np.array(Image.open(os.path.join(serial_dir, "valid", video, "0", f + ".png")))
             b = np.array(Image.open(os.path.join(fan_dir, "valid", video, "0", f + ".png")))
             assert np.array_equal(a, b), (video, f)
+
+
+def test_long_expression_not_truncated(tmp_path):
+    """Expressions longer than the old 24-token cap must reach the model
+    in full (reference pads to longest and never truncates —
+    models/tce_rvos.py:408). Guards against reintroducing a silent
+    ``max_len`` in the inference tokenization path."""
+    from tce_rvos_tpu.infer import InferenceEngine
+    from tce_rvos_tpu.models.build import build_model, example_inputs
+    from tce_rvos_tpu.models.text_encoder import tokenize, EOS_TOKEN_ID
+
+    caption = (
+        "the small spotted goat that stands on the very large grey rock "
+        "next to the three trees while two birds fly above the river bank"
+    )
+    ids, attn = tokenize([caption])
+    n_tok = int(attn.sum())
+    assert n_tok > 24  # would have been cut by the old cap
+    assert ids[0, n_tok - 1] == EOS_TOKEN_ID  # EOS survived
+
+    cfg = ModelConfig(**TINY)
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=1, t=cfg.num_frames, hw=(32, 32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+
+    rng = np.random.RandomState(1)
+    frames = [rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+              for _ in range(cfg.num_frames)]
+    engine = InferenceEngine(cfg, variables, size=32, max_size=48,
+                             window=cfg.num_frames)
+    out = engine.run_video(frames, caption)
+
+    # manual forward with the full-length (untruncated) tokens must agree
+    video, mask, model_size = engine.preprocess(frames)
+    ref = engine.run_window(video, mask, ids, attn, model_size)
+    np.testing.assert_allclose(
+        out["pred_masks"], np.asarray(ref["pred_masks"])[0], rtol=0, atol=0
+    )

@@ -132,3 +132,112 @@ def test_separable_kernel_forward_and_backward(inputs_sep):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1.0)
         assert np.abs(a - b).max() < 0.02 * scale, (name, np.abs(a - b).max())
+
+
+# ---- banded value windows (pixel_queries) ------------------------------
+
+SHAPES_BAND = ((40, 64), (20, 32), (5, 8))  # sep lvl0 + bandable flat lvl1
+S_BAND = sum(h * w for h, w in SHAPES_BAND)
+M_B, D_B = 2, 16  # 24*16 = 384 lanes: 128-aligned band windows
+
+
+def _pixel_query_inputs(max_offset_px: float, seed: int = 7):
+    """Queries = the flattened level pixels (encoder layout); sampling
+    points = own position + offsets bounded by ``max_offset_px`` pixels."""
+    rng = np.random.RandomState(seed)
+    l = len(SHAPES_BAND)
+    value = rng.randn(N, S_BAND, M_B, D_B).astype(np.float32)
+    ref = np.concatenate(
+        [
+            np.stack(
+                np.meshgrid(
+                    (np.arange(w) + 0.5) / w, (np.arange(h) + 0.5) / h,
+                    indexing="xy",
+                ),
+                axis=-1,
+            ).reshape(h * w, 2)
+            for h, w in SHAPES_BAND
+        ],
+        axis=0,
+    )  # [S, 2] normalized (x, y)
+    off = (rng.rand(N, S_BAND, M_B, l, P, 2) * 2 - 1) * max_offset_px
+    norm = np.asarray([[w, h] for h, w in SHAPES_BAND], np.float32)
+    loc = ref[None, :, None, None, None, :] + off / norm[None, None, None, :, None, :]
+    attn = rng.rand(N, S_BAND, M_B, l, P).astype(np.float32) + 1e-3
+    attn = attn / attn.reshape(N, S_BAND, M_B, l * P).sum(-1)[..., None, None]
+    return (
+        jnp.array(value),
+        jnp.array(loc.astype(np.float32)),
+        jnp.array(attn),
+    )
+
+
+@pytest.mark.parametrize("max_off,expect_banded", [(3.0, True), (30.0, False)])
+def test_banded_pixel_queries_parity(max_off, expect_banded):
+    """pixel_queries=True must stay oracle-exact BOTH when the banded
+    windows cover every tap (small offsets) and when taps escape and the
+    lax.cond falls back to the full-height kernels (large offsets)."""
+    from tce_rvos_tpu.ops.pallas_msda import (
+        DEFAULT_BQ, SEP_BAND_ROWS, FLAT_BAND_ROWS, _band_and_escape,
+    )
+
+    value, loc, attn = _pixel_query_inputs(max_off)
+    # confirm which path the dispatcher takes for this offset magnitude
+    h0 = SHAPES_BAND[0][0]
+    nb0 = (SHAPES_BAND[0][0] * SHAPES_BAND[0][1]) // DEFAULT_BQ
+    py = loc[:, : nb0 * DEFAULT_BQ, :, 0, :, 1] * h0 - 0.5
+    _, esc = _band_and_escape(
+        py, nb0, DEFAULT_BQ, h0, SEP_BAND_ROWS, quant=128 // D_B
+    )
+    assert bool(esc) != expect_banded
+
+    expected = np.asarray(ms_deform_attn(value, SHAPES_BAND, loc, attn))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            ms_deform_attn_pallas(
+                value, SHAPES_BAND, loc, attn, pixel_queries=True
+            )
+        )
+    np.testing.assert_allclose(got, expected, rtol=0.05, atol=5e-3)
+
+
+def test_banded_backward_matches_oracle():
+    """Gradients flow through the banded forward's custom VJP unchanged."""
+    value, loc, attn = _pixel_query_inputs(2.0, seed=9)
+
+    def loss_p(v, l, a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(
+                ms_deform_attn_pallas(
+                    v, SHAPES_BAND, l, a, pixel_queries=True
+                )
+                ** 2
+            )
+
+    def loss_o(v, l, a):
+        return jnp.sum(ms_deform_attn(v, SHAPES_BAND, l, a) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(value, loc, attn)
+    go = jax.grad(loss_o, argnums=(0, 1, 2))(value, loc, attn)
+    for name, a, b in zip(("d_value", "d_loc", "d_attn"), gp, go):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1.0)
+        assert np.abs(a - b).max() < 0.02 * scale, (name, np.abs(a - b).max())
+
+
+def test_nm_variant_matches_default(inputs):
+    """ms_deform_attn_pallas_nm consumes head-major [N, M, S, D] value and
+    must agree with the [N, S, M, D] entry (used when the value projection
+    emits head-major directly)."""
+    from tce_rvos_tpu.ops.pallas_msda import ms_deform_attn_pallas_nm
+
+    value, loc, attn = inputs
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(ms_deform_attn_pallas(value, SHAPES, loc, attn))
+        b = np.asarray(
+            ms_deform_attn_pallas_nm(
+                value.transpose(0, 2, 1, 3), SHAPES, loc, attn
+            )
+        )
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
