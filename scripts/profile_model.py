@@ -57,7 +57,10 @@ def main():
             name = e["name"]
             if name.startswith("jit_"):
                 continue
-            total += e["dur"]
+            # branch bodies are nested inside their cond.* span — counting
+            # both would double-book the banded MSDA kernels
+            if not name.startswith("branch_"):
+                total += e["dur"]
             key = re.sub(r"[.\d]+$", "", name)
             durs[key] += e["dur"]
             cnt[key] += 1

@@ -69,7 +69,9 @@ def main():
     for e in ev:
         if e.get("ph") == "X" and "dur" in e and "TPU" in pids.get(e["pid"], ""):
             name = e["name"]
-            if name.startswith("jit_"):
+            # branch bodies are nested inside their cond.* span — keep the
+            # cond (outer) only so sums don't double-book
+            if name.startswith("jit_") or name.startswith("branch_"):
                 continue
             durs[name] += e["dur"]
             cnt[name] += 1

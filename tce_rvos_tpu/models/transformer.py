@@ -28,7 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from tce_rvos_tpu.models.layers import FFN, MultiheadAttention, get_activation, with_pos
+from tce_rvos_tpu.models.layers import (
+    FFN, FusedLayerNorm, MultiheadAttention, get_activation, with_pos,
+)
 from tce_rvos_tpu.ops.msda import ms_deform_attn
 from tce_rvos_tpu.utils.boxes import inverse_sigmoid
 
@@ -224,14 +226,14 @@ class FrameTokenLayer(nn.Module):
         src2 = MultiheadAttention(
             self.d_model, self.n_heads, self.dropout, name="frame_token_atten"
         )(q, k, token, deterministic=deterministic)
-        src = nn.LayerNorm(name="norm3")(src + drop(src2))
+        src = FusedLayerNorm(name="norm3")(src + drop(src2))
 
         # 4) FFN
         y = nn.Dense(self.d_ffn, kernel_init=xavier, name="linear1")(src)
         y = get_activation(self.activation)(y)
         y = drop(y)
         y = nn.Dense(self.d_model, kernel_init=xavier, name="linear2")(y)
-        src = nn.LayerNorm(name="norm4")(src + drop(y))
+        src = FusedLayerNorm(name="norm4")(src + drop(y))
         return src, token
 
 
@@ -320,7 +322,7 @@ class EncoderLayer(nn.Module):
             impl=self.msda_impl, pixel_queries=True, name="self_attn",
         )(with_pos(src, pos), reference_points, src, spatial_shapes, padding_mask)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
-        src = nn.LayerNorm(name="norm1")(src)
+        src = FusedLayerNorm(name="norm1")(src)
         src = FFN(
             self.d_ffn, self.d_model, self.dropout, self.activation, name="ffn"
         )(src, deterministic=deterministic)

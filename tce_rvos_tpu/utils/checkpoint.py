@@ -61,7 +61,14 @@ def _conv3d_tsum(x):
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if path.startswith(("http://", "https://")):
+        # URL checkpoints via the torch.hub cache, matching the reference's
+        # --resume handling (main.py:184-186)
+        ckpt = torch.hub.load_state_dict_from_url(
+            path, map_location="cpu", check_hash=False
+        )
+    else:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "model" in ckpt:
         ckpt = ckpt["model"]
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
