@@ -115,13 +115,13 @@ class FusedLayerNorm(nn.Module):
     epsilon: float = 1e-6
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         from tce_rvos_tpu.ops.pallas_ln import layer_norm
 
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return layer_norm(x, scale, bias, self.epsilon)
+        return layer_norm(x, scale, bias, self.epsilon, residual=residual)
 
 
 class FFN(nn.Module):
@@ -140,8 +140,7 @@ class FFN(nn.Module):
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.Dense(self.d_model, name="linear2")(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        x = x + y
-        return FusedLayerNorm(name="norm")(x)
+        return FusedLayerNorm(name="norm")(x, residual=y)
 
 
 def with_pos(tensor: jnp.ndarray, pos: Optional[jnp.ndarray]) -> jnp.ndarray:

@@ -28,8 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 _BLOCK_ROWS = 1024
 
 
-def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float):
-    x = x_ref[:].astype(jnp.float32)
+def _ln_kernel(*refs, eps: float, with_res: bool):
+    if with_res:
+        x_ref, r_ref, s_ref, b_ref, o_ref = refs
+        x = x_ref[:].astype(jnp.float32) + r_ref[:].astype(jnp.float32)
+    else:
+        x_ref, s_ref, b_ref, o_ref = refs
+        x = x_ref[:].astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
     y = (x - mu) * jax.lax.rsqrt(var + eps)
@@ -38,20 +43,22 @@ def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float):
     ).astype(o_ref.dtype)
 
 
-def _ln_pallas_2d(x, scale, bias, eps):
+def _ln_pallas_2d(x, scale, bias, eps, res=None):
     r, c = x.shape
     br = min(_BLOCK_ROWS, max(8, r))
+    row_spec = pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [row_spec] + ([row_spec] if res is not None else []) + [
+        vec_spec, vec_spec,
+    ]
+    args = (x,) + ((res,) if res is not None else ()) + (scale[None], bias[None])
     return pl.pallas_call(
-        functools.partial(_ln_kernel, eps=eps),
+        functools.partial(_ln_kernel, eps=eps, with_res=res is not None),
         grid=(pl.cdiv(r, br),),
-        in_specs=[
-            pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((r, c), x.dtype),
-    )(x, scale[None], bias[None])
+    )(*args)
 
 
 def _stats(x32, eps):
@@ -75,6 +82,30 @@ def fused_layer_norm(x, scale, bias, eps=1e-6):
     shape = x.shape
     y = _ln_pallas_2d(x.reshape(-1, shape[-1]), scale, bias, eps)
     return y.reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_add_layer_norm(x, res, scale, bias, eps=1e-6):
+    """LN(x + res) with the residual add folded into the kernel's single
+    pass (the transformer's post-norm blocks are all LN(x + drop(y)) —
+    materializing the sum costs an extra HBM round-trip per norm)."""
+    shape = x.shape
+    y = _ln_pallas_2d(
+        x.reshape(-1, shape[-1]), scale, bias, eps,
+        res=res.reshape(-1, shape[-1]),
+    )
+    return y.reshape(shape)
+
+
+def _fused_add_fwd(x, res, scale, bias, eps):
+    return fused_add_layer_norm(x, res, scale, bias, eps), (x, res, scale)
+
+
+def _fused_add_bwd(eps, resids, g):
+    x, res, scale = resids
+    s = (x.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
+    dx, dscale, dbias = _fused_bwd(eps, (s, scale), g)
+    return dx, dx.astype(res.dtype), dscale, dbias
 
 
 def _fused_fwd(x, scale, bias, eps):
@@ -102,6 +133,9 @@ def _fused_bwd(eps, res, g):
 fused_layer_norm.defvjp(_fused_fwd, _fused_bwd)
 
 
+fused_add_layer_norm.defvjp(_fused_add_fwd, _fused_add_bwd)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() in ("tpu", "axon")
@@ -109,10 +143,15 @@ def _on_tpu() -> bool:
         return False
 
 
-def layer_norm(x, scale, bias, eps=1e-6):
-    """Dispatching LayerNorm: Pallas kernel on TPU for lane-aligned feature
-    dims, plain-jnp reference otherwise. Numerics are identical (f32 stats,
-    fast variance) up to the output-dtype rounding."""
+def layer_norm(x, scale, bias, eps=1e-6, residual=None):
+    """Dispatching LayerNorm (optionally LN(x + residual)): Pallas kernel
+    on TPU for lane-aligned feature dims, plain-jnp reference otherwise.
+    Numerics are identical (f32 stats, fast variance) up to the
+    output-dtype rounding."""
     if x.shape[-1] % 128 == 0 and x.ndim >= 2 and _on_tpu():
+        if residual is not None:
+            return fused_add_layer_norm(x, residual, scale, bias, eps)
         return fused_layer_norm(x, scale, bias, eps)
+    if residual is not None:
+        x = x + residual
     return _ln_reference(x, scale, bias, eps)

@@ -115,15 +115,14 @@ def _sep_kernel_ah(
         band_f = jnp.float32(0.0)
 
     xs = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1).astype(jnp.float32)
-    # narrow y iota: the wide [P*BQ, HB*D] y-factor is EXPANDED on the MXU
-    # (wy_narrow @ E below) instead of built per-lane on the VPU — the wide
-    # iota build was ~40% of this kernel's time (device profile)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (bq, hb), 1).astype(jnp.float32)
-    # expand matrix E[y, y'*D + c] = (y == y'): one MXU pass turns the
-    # narrow y-factor into y-major lanes (exact 0/1, no rounding)
-    erows = jax.lax.broadcasted_iota(jnp.int32, (hb, hb * d), 0)
-    ecols = jax.lax.broadcasted_iota(jnp.int32, (hb, hb * d), 1)
-    expand = (ecols // d == erows).astype(jnp.bfloat16)  # [HB, HB*D]
+    # wide y iota, y-major lanes: lane // D -> y offset within the band
+    # (D power of two -> a shift). NOTE a narrow [P*BQ, HB] build + 0/1 MXU
+    # expansion was tried and is ~0.6 ms/layer SLOWER at banded widths —
+    # the VPU column-broadcast build is cheaper than an extra 503 MFLOP
+    # matmul per head-cell (measured, BASELINE.md round 3)
+    lane_y = (
+        jax.lax.broadcasted_iota(jnp.int32, (bq, hb * d), 1) // d
+    ).astype(jnp.float32)
     # binary fold matrix G[y*D + c, c'] = (c == c'): the y-reduction of a
     # y-major lane vector is one matmul (no lane reshapes, which Mosaic
     # does not support)
@@ -162,20 +161,19 @@ def _sep_kernel_ah(
             wx_all.astype(jnp.bfloat16), v_t.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)  # [P*BQ, HB*D]
-        wy_n = jnp.concatenate(
+        wy_all = jnp.concatenate(
             [
                 jnp.maximum(
                     0.0,
                     1.0
-                    - jnp.abs(ys + band_f - (col("loc", 2 * pi + 1) * h - 0.5)),
+                    - jnp.abs(
+                        lane_y + band_f - (col("loc", 2 * pi + 1) * h - 0.5)
+                    ),
                 )
                 for pi in range(p)
             ],
             axis=0,
-        ).astype(jnp.bfloat16)  # [P*BQ, HB] narrow
-        wy_all = jnp.dot(
-            wy_n, expand, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)  # [P*BQ, HB*D] via MXU
+        ).astype(jnp.bfloat16)  # [P*BQ, HB*D]
         s2 = s1 * wy_all
         # the fold is LINEAR: sum the attn-weighted points FIRST, shrinking
         # the D-narrow fold matmul's rows P-fold

@@ -73,3 +73,31 @@ def test_fused_ln_bf16_io():
         np.asarray(got, np.float32), np.asarray(expected, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_fused_add_ln(inputs):
+    """LN(x + residual) with the add folded into the kernel."""
+    from tce_rvos_tpu.ops.pallas_ln import fused_add_layer_norm
+
+    x, scale, bias = inputs
+    res = x * 0.3 + 0.1
+    expected = _ln_reference(x + res, scale, bias, 1e-6)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_add_layer_norm(x, res, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_p(x, r, s, b):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_add_layer_norm(x, r, s, b) ** 2)
+
+    def loss_r(x, r, s, b):
+        return jnp.sum(_ln_reference(x + r, s, b, 1e-6) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(x, res, scale, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, res, scale, bias)
+    for name, a, b in zip(("dx", "dres", "dscale", "dbias"), gp, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        sc = max(np.abs(b).max(), 1.0)
+        assert np.abs(a - b).max() < 1e-4 * sc, (name, np.abs(a - b).max())
