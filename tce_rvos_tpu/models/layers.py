@@ -106,24 +106,6 @@ class MultiheadAttention(nn.Module):
         return nn.Dense(c, name="out_proj")(out)
 
 
-class FusedLayerNorm(nn.Module):
-    """Drop-in for nn.LayerNorm (same param tree: scale/bias) that routes
-    through the one-pass Pallas kernel on TPU (ops/pallas_ln.py). Used at
-    the transformer's hot [N*S, 256] norms where XLA's reduce fusions run
-    ~6x off bandwidth."""
-
-    epsilon: float = 1e-6
-
-    @nn.compact
-    def __call__(self, x, residual=None):
-        from tce_rvos_tpu.ops.pallas_ln import layer_norm
-
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,))
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-        return layer_norm(x, scale, bias, self.epsilon, residual=residual)
-
-
 class FFN(nn.Module):
     """post-norm transformer FFN with residual: x + drop(W2 drop(act(W1 x))),
     then LayerNorm — the layout every reference block uses."""
@@ -140,7 +122,8 @@ class FFN(nn.Module):
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.Dense(self.d_model, name="linear2")(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return FusedLayerNorm(name="norm")(x, residual=y)
+        x = x + y
+        return nn.LayerNorm(name="norm")(x)
 
 
 def with_pos(tensor: jnp.ndarray, pos: Optional[jnp.ndarray]) -> jnp.ndarray:

@@ -20,9 +20,7 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tce_rvos_tpu.models.layers import (
-    FusedLayerNorm, MultiheadAttention, get_activation, with_pos,
-)
+from tce_rvos_tpu.models.layers import MultiheadAttention, get_activation, with_pos
 from tce_rvos_tpu.utils.interpolate import resize_bilinear, resize_nearest
 
 xavier = nn.initializers.xavier_uniform()
@@ -113,7 +111,8 @@ class VisionLanguageBlock(nn.Module):
             )
         else:
             tgt2 = tgt2.reshape(b, t, h, w, c)
-        tgt = FusedLayerNorm(name="norm1")(tgt, residual=drop(tgt2))
+        tgt = tgt + drop(tgt2)
+        tgt = nn.LayerNorm(name="norm1")(tgt)
 
         # cross-attn to text over the flattened clip
         s = t * h * w
@@ -126,13 +125,13 @@ class VisionLanguageBlock(nn.Module):
             key_padding_mask=memory_key_padding_mask,
             deterministic=deterministic,
         ).reshape(b, t, h, w, c)
-        tgt = FusedLayerNorm(name="norm2")(tgt, residual=drop(tgt2))
+        tgt = nn.LayerNorm(name="norm2")(tgt + drop(tgt2))
 
         y = nn.Dense(self.dim_feedforward, kernel_init=xavier, name="linear1")(tgt)
         y = get_activation(self.activation)(y)
         y = drop(y)
         y = nn.Dense(self.d_model, kernel_init=xavier, name="linear2")(y)
-        tgt = FusedLayerNorm(name="norm3")(tgt, residual=drop(y))
+        tgt = nn.LayerNorm(name="norm3")(tgt + drop(y))
         return tgt
 
 

@@ -28,9 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from tce_rvos_tpu.models.layers import (
-    FFN, FusedLayerNorm, MultiheadAttention, get_activation, with_pos,
-)
+from tce_rvos_tpu.models.layers import FFN, MultiheadAttention, get_activation, with_pos
 from tce_rvos_tpu.ops.msda import ms_deform_attn
 from tce_rvos_tpu.utils.boxes import inverse_sigmoid
 
@@ -226,14 +224,14 @@ class FrameTokenLayer(nn.Module):
         src2 = MultiheadAttention(
             self.d_model, self.n_heads, self.dropout, name="frame_token_atten"
         )(q, k, token, deterministic=deterministic)
-        src = FusedLayerNorm(name="norm3")(src, residual=drop(src2))
+        src = nn.LayerNorm(name="norm3")(src + drop(src2))
 
         # 4) FFN
         y = nn.Dense(self.d_ffn, kernel_init=xavier, name="linear1")(src)
         y = get_activation(self.activation)(y)
         y = drop(y)
         y = nn.Dense(self.d_model, kernel_init=xavier, name="linear2")(y)
-        src = FusedLayerNorm(name="norm4")(src, residual=drop(y))
+        src = nn.LayerNorm(name="norm4")(src + drop(y))
         return src, token
 
 
@@ -321,9 +319,8 @@ class EncoderLayer(nn.Module):
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             impl=self.msda_impl, pixel_queries=True, name="self_attn",
         )(with_pos(src, pos), reference_points, src, spatial_shapes, padding_mask)
-        src = FusedLayerNorm(name="norm1")(
-            src, residual=nn.Dropout(self.dropout)(src2, deterministic=deterministic)
-        )
+        src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
+        src = nn.LayerNorm(name="norm1")(src)
         src = FFN(
             self.d_ffn, self.d_model, self.dropout, self.activation, name="ffn"
         )(src, deterministic=deterministic)

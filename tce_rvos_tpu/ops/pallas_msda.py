@@ -40,8 +40,8 @@ Round-3 structure (device-profile-driven; anatomy in BASELINE.md):
     its taps live in a narrow y-band unless learned offsets are extreme.
     Per (batch, block) band starts are computed from the actual sampling
     locations (data-driven min/max) and passed via scalar prefetch; the
-    kernel dynamically slices the value window (SEP_BAND_ROWS rows for the
-    separable level, FLAT_BAND_ROWS for the largest flat level), shrinking
+    kernel dynamically slices the value window (_sep_band_rows for a
+    separable level, _flat_band_rows for the largest flat level), shrinking
     both the S1 matmul and the wide y-factor build. Exactness is preserved
     by a `lax.cond` fallback: if ANY block's taps escape its band, the
     whole call runs the full-height kernel instead (the oracle-parity
@@ -72,11 +72,46 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tce_rvos_tpu.ops.msda import SpatialShapes, level_splits
 
-DEFAULT_BQ = 640   # queries per block (8 rows of the flagship 48x80 level)
+DEFAULT_BQ = 320   # queries per block (4 rows of the flagship 48x80 level)
 TINY_BQ = 128      # single block for decoder (Q=5) / FTF token (Q=8) calls
 FLAT_LEVEL_MAX_PIXELS = 1024  # levels at or below use the flat kernel
-SEP_BAND_ROWS = 24   # banded separable: value rows per query block window
-FLAT_BAND_ROWS = 16  # banded flat (largest flat level): rows per window
+
+# band sizing margin: a window must cover the block's own rows plus the
+# learned offsets' reach on each side. At init offsets are <= n_points px
+# (directional bias, transformer.py::_offset_bias_init) + 1 px bilinear
+# spread; trained offsets are typically similar. Escaping offsets are
+# CORRECT (lax.cond full-height fallback), just slower — the margin is a
+# fast-path tuning knob, not a semantics bound.
+BAND_MARGIN_ROWS = 11     # 2 * (4 px offset + 1 bilinear) + 1
+SEP_BAND_QUANT_SLACK = 4  # lane-aligned starts lose up to quant-1 rows
+
+# the analytic backward keeps the old dispatch threshold (its per-level
+# kernels were tuned there; correctness is threshold-independent)
+BWD_FLAT_MAX_PIXELS = 1024
+
+
+def _sep_band_rows(h: int, d: int, block_rows: int) -> int:
+    """Band-window height for a separable level, or 0 if banding is not
+    worthwhile/legal: the window and its start quantum must be 128-lane
+    multiples, and the level must be taller than the window.
+    ``block_rows``: how many of this level's rows one query block spans."""
+    if 128 % d != 0:
+        return 0
+    quant = max(128 // d, 1)
+    needed = block_rows + BAND_MARGIN_ROWS + SEP_BAND_QUANT_SLACK
+    hb = -(-needed // quant) * quant
+    if h - hb >= 4:
+        return hb
+    return 0
+
+
+def _flat_band_rows(h: int, block_rows: int) -> int:
+    """Row window for the banded first flat level (sublane-granular start,
+    no lane quantization)."""
+    hb = block_rows + BAND_MARGIN_ROWS + 2
+    if h - hb >= 4:
+        return hb
+    return 0
 
 # the analytic backward (ops/pallas_msda_bwd.py) keeps its own per-head
 # kernels and block sizes — independent of the forward's layout
@@ -439,13 +474,7 @@ def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
     nb0 = 0
     if pixel_queries and sep_lvls[:1] == [0]:
         h0, w0 = spatial_shapes[0]
-        # lane-slice alignment: the band window (SEP_BAND_ROWS*D lanes) and
-        # its start quantum (4 rows * D) must be 128-lane multiples
-        if (
-            h0 - SEP_BAND_ROWS >= 8
-            and (SEP_BAND_ROWS * d) % 128 == 0
-            and 128 % d == 0
-        ):
+        if _sep_band_rows(h0, d, -(-bq // w0)):
             nb0 = min(h0 * w0 // bq, nblk)
     groups = [(0, nb0), (nb0, nblk - nb0)] if nb0 else [(0, nblk)]
 
@@ -466,20 +495,26 @@ def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
             _run_sep, v_y, qa, lvl=lvl, nlvl=nlvl, h=h, w=w, p=p, bq=bq,
             out_dtype=out_dtype,
         )
+        hbv = 0
+        if nb0:
+            h0, w0 = spatial_shapes[0]
+            hbv = _sep_band_rows(h, d, -(-(bq * h) // (h0 * w0)))
         for gi, (off, cnt) in enumerate(groups):
             if cnt == 0:
                 continue
-            if gi == 0 and nb0 and lvl == 0:
-                py = loc[:, : nb0 * bq, :, 0, :, 1] * h - 0.5
+            if gi == 0 and nb0 and hbv:
+                # band the prefix blocks for EVERY separable level: the
+                # encoder's level-0 query blocks are spatially tight in
+                # normalized coords, so their taps into ANY level live in
+                # a narrow y-band of that level
+                py = loc[:, : nb0 * bq, :, lvl, :, 1] * h - 0.5
                 band, esc = _band_and_escape(
-                    py, nb0, bq, h, SEP_BAND_ROWS, quant=max(128 // d, 1)
+                    py, nb0, bq, h, hbv, quant=max(128 // d, 1)
                 )
                 acc(gi, jax.lax.cond(
                     esc,
                     lambda: run(band=None, hb=h, blk_off=0, nblk=nb0),
-                    lambda: run(
-                        band=band, hb=SEP_BAND_ROWS, blk_off=0, nblk=nb0
-                    ),
+                    lambda: run(band=band, hb=hbv, blk_off=0, nblk=nb0),
                 ))
             else:
                 acc(gi, run(band=None, hb=h, blk_off=off, nblk=cnt))
@@ -494,8 +529,12 @@ def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
             nlvl=nlvl, p=p, bq=bq, out_dtype=out_dtype,
         )
         h1, w1 = shapes_f[0]
+        hb1 = 0
+        if nb0:
+            h0, w0 = spatial_shapes[0]
+            hb1 = _flat_band_rows(h1, -(-(bq * h1) // (h0 * w0)))
         can_band = (
-            nb0 > 0 and h1 - FLAT_BAND_ROWS >= 4
+            nb0 > 0 and hb1 > 0
             and h1 * w1 > FLAT_LEVEL_MAX_PIXELS // 2
             and w1 % 8 == 0  # sublane-aligned dynamic row starts
         )
@@ -505,14 +544,12 @@ def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
             if gi == 0 and can_band:
                 py1 = loc[:, : nb0 * bq, :, flat_lvls[0], :, 1] * h1 - 0.5
                 band1, esc1 = _band_and_escape(
-                    py1, nb0, bq, h1, FLAT_BAND_ROWS, quant=1
+                    py1, nb0, bq, h1, hb1, quant=1
                 )
                 acc(gi, jax.lax.cond(
                     esc1,
                     lambda: run(band=None, hb1=0, blk_off=0, nblk=nb0),
-                    lambda: run(
-                        band=band1, hb1=FLAT_BAND_ROWS, blk_off=0, nblk=nb0
-                    ),
+                    lambda: run(band=band1, hb1=hb1, blk_off=0, nblk=nb0),
                 ))
             else:
                 acc(gi, run(band=None, hb1=0, blk_off=off, nblk=cnt))
@@ -567,7 +604,7 @@ def _bwd(spatial_shapes, pixel_queries, res, g):
     sep_bq, flat_bq = _bwd_block_sizes(loc.shape[1])
     dv_hm, dloc, dattn = msda_backward_hm(
         value.transpose(0, 2, 1, 3), spatial_shapes, loc, attn, g,
-        sep_bq, flat_bq, FLAT_LEVEL_MAX_PIXELS,
+        sep_bq, flat_bq, BWD_FLAT_MAX_PIXELS,
     )
     return dv_hm.transpose(0, 2, 1, 3).astype(value.dtype), dloc, dattn
 
@@ -611,7 +648,7 @@ def _bwd_nm(spatial_shapes, pixel_queries, res, g):
     sep_bq, flat_bq = _bwd_block_sizes(loc.shape[1])
     dv_nm, dloc, dattn = msda_backward_hm(
         value_nm, spatial_shapes, loc, attn, g,
-        sep_bq, flat_bq, FLAT_LEVEL_MAX_PIXELS,
+        sep_bq, flat_bq, BWD_FLAT_MAX_PIXELS,
     )
     return dv_nm.astype(value_nm.dtype), dloc, dattn
 
@@ -650,7 +687,7 @@ def _bwd_hm(spatial_shapes, res, g):
     sep_bq, flat_bq = _bwd_block_sizes(loc.shape[1])
     dv, dloc, dattn = msda_backward_hm(
         value_hm.transpose(1, 0, 2, 3), spatial_shapes, loc, attn, g,
-        sep_bq, flat_bq, FLAT_LEVEL_MAX_PIXELS,
+        sep_bq, flat_bq, BWD_FLAT_MAX_PIXELS,
     )
     return dv.transpose(1, 0, 2, 3).astype(value_hm.dtype), dloc, dattn
 

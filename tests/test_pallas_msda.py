@@ -178,16 +178,18 @@ def test_banded_pixel_queries_parity(max_off, expect_banded):
     windows cover every tap (small offsets) and when taps escape and the
     lax.cond falls back to the full-height kernels (large offsets)."""
     from tce_rvos_tpu.ops.pallas_msda import (
-        DEFAULT_BQ, SEP_BAND_ROWS, FLAT_BAND_ROWS, _band_and_escape,
+        DEFAULT_BQ, _band_and_escape, _sep_band_rows,
     )
 
     value, loc, attn = _pixel_query_inputs(max_off)
     # confirm which path the dispatcher takes for this offset magnitude
-    h0 = SHAPES_BAND[0][0]
-    nb0 = (SHAPES_BAND[0][0] * SHAPES_BAND[0][1]) // DEFAULT_BQ
+    h0, w0 = SHAPES_BAND[0]
+    nb0 = (h0 * w0) // DEFAULT_BQ
+    hb = _sep_band_rows(h0, D_B, -(-DEFAULT_BQ // w0))
+    assert hb > 0
     py = loc[:, : nb0 * DEFAULT_BQ, :, 0, :, 1] * h0 - 0.5
     _, esc = _band_and_escape(
-        py, nb0, DEFAULT_BQ, h0, SEP_BAND_ROWS, quant=128 // D_B
+        py, nb0, DEFAULT_BQ, h0, hb, quant=128 // D_B
     )
     assert bool(esc) != expect_banded
 
