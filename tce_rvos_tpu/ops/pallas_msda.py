@@ -115,7 +115,7 @@ def _flat_band_rows(h: int, block_rows: int) -> int:
 
 # the analytic backward (ops/pallas_msda_bwd.py) keeps its own per-head
 # kernels and block sizes — independent of the forward's layout
-BWD_SEP_BQ = 1024
+BWD_SEP_BQ = 512
 BWD_FLAT_BQ = 512
 
 _LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -587,7 +587,7 @@ def _forward(value, spatial_shapes, loc, attn, pixel_queries=False):
 def _bwd_block_sizes(q: int):
     if q <= 128:
         return 128, 128
-    return BWD_SEP_BQ, BWD_FLAT_BQ
+    return BWD_SEP_BQ, BWD_FLAT_BQ  # equal: one shared Q-block partition
 
 
 def _fwd(value, spatial_shapes, loc, attn, pixel_queries=False):
@@ -604,7 +604,7 @@ def _bwd(spatial_shapes, pixel_queries, res, g):
     sep_bq, flat_bq = _bwd_block_sizes(loc.shape[1])
     dv_hm, dloc, dattn = msda_backward_hm(
         value.transpose(0, 2, 1, 3), spatial_shapes, loc, attn, g,
-        sep_bq, flat_bq, BWD_FLAT_MAX_PIXELS,
+        sep_bq, flat_bq, BWD_FLAT_MAX_PIXELS, pixel_queries=pixel_queries,
     )
     return dv_hm.transpose(0, 2, 1, 3).astype(value.dtype), dloc, dattn
 
@@ -648,7 +648,7 @@ def _bwd_nm(spatial_shapes, pixel_queries, res, g):
     sep_bq, flat_bq = _bwd_block_sizes(loc.shape[1])
     dv_nm, dloc, dattn = msda_backward_hm(
         value_nm, spatial_shapes, loc, attn, g,
-        sep_bq, flat_bq, BWD_FLAT_MAX_PIXELS,
+        sep_bq, flat_bq, BWD_FLAT_MAX_PIXELS, pixel_queries=pixel_queries,
     )
     return dv_nm.astype(value_nm.dtype), dloc, dattn
 

@@ -18,9 +18,17 @@ all three gradients are the same matmul shapes as the forward:
     d_py[q, l, p]    = attn * <g, fold((wx @ V_t) * wy')> * H
     where wx' / wy' are the sign-derivative weights
     d/dp relu(1 - |x - p|) = sign(x - p) * 1_{|x - p| < 1}
-  * d_V_t[x, (d,y)]  = sum_p wx_p^T @ (attn_p * g_wide * wy_p)  — the
+  * d_V_t[x, (y,d)]  = sum_p wx_p^T @ (attn_p * g_wide * wy_p)  — the
     transposed x-contraction, accumulated over query blocks by revisiting
     the output block along the grid's q axis.
+
+Round-3 structure, mirroring the forward (device-profile-driven):
+ALL-HEADS-PER-CELL grids, Y-MAJOR value/dv lanes (lane = y*D + d), and
+BANDED VALUE WINDOWS for the encoder's pixel-query prefix blocks —
+per-(batch, block) band starts from the actual sampling locations via
+scalar prefetch, `lax.cond` full-height fallback when any tap escapes
+(exactness for arbitrary offsets). The banded dv kernel accumulates into
+a dynamic lane slice of its output block.
 
 Two kernel families mirror the forward dispatch: separable per large
 level, one merged kernel for all small (flat) levels.
@@ -29,7 +37,7 @@ level, one merged kernel for all small (flat) levels.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,226 +67,330 @@ def _lin_weight(coord, centers):
     return w, dw
 
 
-def _msda_bwd_q_kernel_sep(
-    qa_ref,     # [1, 1, BQ, L*P*3]  (Q-MAJOR loc+attn, as the forward)
-    g_ref,      # [1, 1, BQ, D]
-    v_ref,      # [1, 1, W, D*H]  (d-major)
-    dloc_ref,   # [1, 1, BQ, P*2]  (this level's rows only)
-    dattn_ref,  # [1, 1, BQ, P]
-    *,
+def _bwd_q_kernel_sep(
+    *refs,
     h: int,
     w: int,
     d: int,
+    m: int,
     p: int,
     bq: int,
     lvl: int,
     nlvl: int,
+    hb: int,
+    banded: bool,
 ):
-    v_t = v_ref[0, 0].astype(jnp.bfloat16)
-    g = g_ref[0, 0].astype(jnp.bfloat16)            # [BQ, D]
-    qa_t = qa_ref[0, 0]
-    loc_t = qa_t[:, : nlvl * p * 2]
-    attn_t = qa_t[:, nlvl * p * 2 :]
+    """dloc/dattn for one separable level, all heads per cell.
+
+    refs: (band_ref?, qa_ref, g_ref, v_ref, dloc_ref, dattn_ref)
+      qa_ref   [1, M, BQ, L*P*3]
+      g_ref    [1, M, BQ, D]
+      v_ref    [1, M, W, H*D]   y-major lanes
+      dloc_ref [1, M, BQ, P*2], dattn_ref [1, M, BQ, P]
+    """
+    if banded:
+        band_ref, qa_ref, g_ref, v_ref, dloc_ref, dattn_ref = refs
+        band = band_ref[pl.program_id(0), pl.program_id(1)]
+        band_f = band.astype(jnp.float32)
+    else:
+        qa_ref, g_ref, v_ref, dloc_ref, dattn_ref = refs
+        band_f = jnp.float32(0.0)
 
     xs = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1).astype(jnp.float32)
     ys_wide = (
-        jax.lax.broadcasted_iota(jnp.int32, (bq, h * d), 1) % h
-    ).astype(jnp.float32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h * d, d), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h * d, d), 1)
-    fold = (rows // h == cols).astype(jnp.bfloat16)
+        jax.lax.broadcasted_iota(jnp.int32, (bq, hb * d), 1) // d
+    ).astype(jnp.float32) + band_f
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hb * d, d), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hb * d, d), 1)
+    fold = (rows % d == cols).astype(jnp.bfloat16)
 
-    dloc_cols = []
-    dattn_cols = []
-    for pi in range(p):
-        px = loc_t[:, lvl * p * 2 + 2 * pi : lvl * p * 2 + 2 * pi + 1] * w - 0.5
-        py = loc_t[:, lvl * p * 2 + 2 * pi + 1 : lvl * p * 2 + 2 * pi + 2] * h - 0.5
-        a = attn_t[:, lvl * p + pi : lvl * p + pi + 1]
+    for mi in range(m):
+        qa_t = qa_ref[0, mi]
+        loc_t = qa_t[:, : nlvl * p * 2]
+        attn_t = qa_t[:, nlvl * p * 2 :]
+        g = g_ref[0, mi].astype(jnp.bfloat16)       # [BQ, D]
+        if banded:
+            off = pl.multiple_of(band * d, 128)
+            v_t = v_ref[0, mi, :, pl.ds(off, hb * d)].astype(jnp.bfloat16)
+        else:
+            v_t = v_ref[0, mi].astype(jnp.bfloat16)
 
-        wx, dwx = _lin_weight(xs, px)               # [BQ, W]
-        wy, dwy = _lin_weight(ys_wide, py)          # [BQ, D*H]
-        wy = wy.astype(jnp.bfloat16)
-
-        s1 = jnp.dot(
-            wx.astype(jnp.bfloat16), v_t, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)                      # [BQ, D*H]
-        ds1 = jnp.dot(
-            dwx.astype(jnp.bfloat16), v_t, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)
-
-        tap = jnp.dot(s1 * wy, fold, preferred_element_type=jnp.float32)
-        tap_dx = jnp.dot(ds1 * wy, fold, preferred_element_type=jnp.float32)
-        tap_dy = jnp.dot(
-            s1 * dwy.astype(jnp.bfloat16), fold, preferred_element_type=jnp.float32
-        )
-
-        gf = g.astype(jnp.float32)
-        dattn_cols.append(jnp.sum(gf * tap, axis=1, keepdims=True))
-        dloc_cols.append(a * jnp.sum(gf * tap_dx, axis=1, keepdims=True) * w)
-        dloc_cols.append(a * jnp.sum(gf * tap_dy, axis=1, keepdims=True) * h)
-
-    dloc_ref[0, 0] = jnp.concatenate(dloc_cols, axis=1).astype(dloc_ref.dtype)
-    dattn_ref[0, 0] = jnp.concatenate(dattn_cols, axis=1).astype(dattn_ref.dtype)
-
-
-def _msda_bwd_v_kernel_sep(
-    loc_ref,    # [1, 1, L*P*2, BQ]
-    attn_ref,   # [1, 1, L*P, BQ]
-    g_ref,      # [1, 1, BQ, D]
-    dv_ref,     # [1, 1, W, D*H]  (accumulated across the q grid axis)
-    *,
-    h: int,
-    w: int,
-    d: int,
-    p: int,
-    bq: int,
-    lvl: int,
-):
-    qi = pl.program_id(2)
-
-    @pl.when(qi == 0)
-    def _zero():
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
-
-    loc_t = jnp.transpose(loc_ref[0, 0])
-    attn_t = jnp.transpose(attn_ref[0, 0])
-    g = g_ref[0, 0].astype(jnp.bfloat16)            # [BQ, D]
-
-    # g expanded to d-major lanes: g_wide[q, d*H + y] = g[q, d], via a 0/1
-    # matmul (no lane gathers on TPU)
-    erows = jax.lax.broadcasted_iota(jnp.int32, (d, d * h), 0)
-    ecols = jax.lax.broadcasted_iota(jnp.int32, (d, d * h), 1)
-    expand = (erows == ecols // h).astype(jnp.bfloat16)   # [D, D*H]
-    g_wide = jnp.dot(g, expand, preferred_element_type=jnp.float32).astype(
-        jnp.bfloat16
-    )                                                # [BQ, D*H]
-
-    xs_t = jax.lax.broadcasted_iota(jnp.int32, (w, bq), 0).astype(jnp.float32)
-    ys_wide = (
-        jax.lax.broadcasted_iota(jnp.int32, (bq, h * d), 1) % h
-    ).astype(jnp.float32)
-
-    acc = jnp.zeros((w, d * h), jnp.float32)
-    for pi in range(p):
-        r = lvl * p * 2 + 2 * pi
-        px_row = loc_ref[0, 0, r : r + 1, :] * w - 0.5               # [1, BQ]
-        py = loc_t[:, r + 1 : r + 2] * h - 0.5
-        a = attn_t[:, lvl * p + pi : lvl * p + pi + 1]
-
-        wx_t = jnp.maximum(0.0, 1.0 - jnp.abs(xs_t - px_row))        # [W, BQ]
-        wy, _ = _lin_weight(ys_wide, py)                               # [BQ, D*H]
-        z = (a * wy).astype(jnp.bfloat16) * g_wide                     # [BQ, D*H]
-        acc = acc + jnp.dot(
-            wx_t.astype(jnp.bfloat16), z, preferred_element_type=jnp.float32
-        )
-    dv_ref[0, 0] = dv_ref[0, 0] + acc.astype(dv_ref.dtype)
-
-
-def _msda_bwd_q_kernel_flat(
-    qa_ref,     # [1, 1, BQ, L*P*3]  (Q-MAJOR loc+attn, as the forward)
-    g_ref,      # [1, 1, BQ, D]
-    v_ref,      # [1, 1, sum HW, D]
-    dloc_ref,   # [1, 1, BQ, n_lvls*P*2]
-    dattn_ref,  # [1, 1, BQ, n_lvls*P]
-    *,
-    shapes: SpatialShapes,
-    lvl_idx: Tuple[int, ...],
-    nlvl: int,
-    d: int,
-    p: int,
-    bq: int,
-):
-    v = v_ref[0, 0].astype(jnp.bfloat16)
-    g = g_ref[0, 0].astype(jnp.float32)
-    qa_t = qa_ref[0, 0]
-    loc_t = qa_t[:, : nlvl * p * 2]
-    attn_t = qa_t[:, nlvl * p * 2 :]
-
-    starts = [0]
-    for hh, ww in shapes:
-        starts.append(starts[-1] + hh * ww)
-
-    dloc_cols = []
-    dattn_cols = []
-    for li, ((h, w), lvl) in enumerate(zip(shapes, lvl_idx)):
-        vi = v[starts[li] : starts[li + 1]]          # [HW, D]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (bq, h * w), 1)
-        lane_y = (lane // w).astype(jnp.float32)
-        lane_x = (lane % w).astype(jnp.float32)
+        dloc_cols = []
+        dattn_cols = []
         for pi in range(p):
             px = loc_t[:, lvl * p * 2 + 2 * pi : lvl * p * 2 + 2 * pi + 1] * w - 0.5
             py = loc_t[:, lvl * p * 2 + 2 * pi + 1 : lvl * p * 2 + 2 * pi + 2] * h - 0.5
             a = attn_t[:, lvl * p + pi : lvl * p + pi + 1]
-            wx, dwx = _lin_weight(lane_x, px)
-            wy, dwy = _lin_weight(lane_y, py)
-            tap = jnp.dot(
-                (wx * wy).astype(jnp.bfloat16), vi,
-                preferred_element_type=jnp.float32,
-            )                                        # [BQ, D]
-            tap_dx = jnp.dot(
-                (dwx * wy).astype(jnp.bfloat16), vi,
-                preferred_element_type=jnp.float32,
-            )
+
+            wx, dwx = _lin_weight(xs, px)           # [BQ, W]
+            wy, dwy = _lin_weight(ys_wide, py)      # [BQ, HB*D]
+            wy = wy.astype(jnp.bfloat16)
+
+            s1 = jnp.dot(
+                wx.astype(jnp.bfloat16), v_t, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)                  # [BQ, HB*D]
+            ds1 = jnp.dot(
+                dwx.astype(jnp.bfloat16), v_t, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+
+            tap = jnp.dot(s1 * wy, fold, preferred_element_type=jnp.float32)
+            tap_dx = jnp.dot(ds1 * wy, fold, preferred_element_type=jnp.float32)
             tap_dy = jnp.dot(
-                (wx * dwy).astype(jnp.bfloat16), vi,
+                s1 * dwy.astype(jnp.bfloat16), fold,
                 preferred_element_type=jnp.float32,
             )
-            dattn_cols.append(jnp.sum(g * tap, axis=1, keepdims=True))
-            dloc_cols.append(a * jnp.sum(g * tap_dx, axis=1, keepdims=True) * w)
-            dloc_cols.append(a * jnp.sum(g * tap_dy, axis=1, keepdims=True) * h)
 
-    dloc_ref[0, 0] = jnp.concatenate(dloc_cols, axis=1).astype(dloc_ref.dtype)
-    dattn_ref[0, 0] = jnp.concatenate(dattn_cols, axis=1).astype(dattn_ref.dtype)
+            gf = g.astype(jnp.float32)
+            dattn_cols.append(jnp.sum(gf * tap, axis=1, keepdims=True))
+            dloc_cols.append(a * jnp.sum(gf * tap_dx, axis=1, keepdims=True) * w)
+            dloc_cols.append(a * jnp.sum(gf * tap_dy, axis=1, keepdims=True) * h)
+
+        dloc_ref[0, mi] = jnp.concatenate(dloc_cols, axis=1).astype(dloc_ref.dtype)
+        dattn_ref[0, mi] = jnp.concatenate(dattn_cols, axis=1).astype(dattn_ref.dtype)
 
 
-def _msda_bwd_v_kernel_flat(
-    loc_ref,    # [1, 1, L*P*2, BQ]
-    attn_ref,   # [1, 1, L*P, BQ]
-    g_ref,      # [1, 1, BQ, D]
-    dv_ref,     # [1, 1, sum HW, D]  (accumulated across the q grid axis)
-    *,
-    shapes: SpatialShapes,
-    lvl_idx: Tuple[int, ...],
+def _bwd_v_kernel_sep(
+    *refs,
+    h: int,
+    w: int,
     d: int,
+    m: int,
     p: int,
     bq: int,
+    lvl: int,
+    nlvl: int,
+    hb: int,
+    banded: bool,
 ):
-    qi = pl.program_id(2)
+    """d_value for one separable level, all heads per cell; the dv output
+    block is revisited (accumulated) along the grid's q axis. Banded cells
+    accumulate into a dynamic lane slice.
+
+    refs: (band_ref?, qa_ref, lqm_ref, g_ref, dv_ref)
+      lqm_ref [1, M, L*P*2, BQ]  Q-minor loc (x rows needed in lane form)
+      dv_ref  [1, M, W, H*D] y-major (f32)
+    """
+    if banded:
+        band_ref, qa_ref, lqm_ref, g_ref, dv_ref = refs
+        band = band_ref[pl.program_id(0), pl.program_id(1)]
+        band_f = band.astype(jnp.float32)
+    else:
+        qa_ref, lqm_ref, g_ref, dv_ref = refs
+        band_f = jnp.float32(0.0)
+
+    qi = pl.program_id(1)
 
     @pl.when(qi == 0)
     def _zero():
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    loc_t = jnp.transpose(loc_ref[0, 0])
-    g = g_ref[0, 0].astype(jnp.bfloat16)
+    xs_t = jax.lax.broadcasted_iota(jnp.int32, (w, bq), 0).astype(jnp.float32)
+    ys_wide = (
+        jax.lax.broadcasted_iota(jnp.int32, (bq, hb * d), 1) // d
+    ).astype(jnp.float32) + band_f
+    # g expanded to y-major lanes: g_wide[q, y*D + c] = g[q, c], via a 0/1
+    # matmul (no lane gathers on TPU)
+    erows = jax.lax.broadcasted_iota(jnp.int32, (d, hb * d), 0)
+    ecols = jax.lax.broadcasted_iota(jnp.int32, (d, hb * d), 1)
+    expand = (erows == ecols % d).astype(jnp.bfloat16)      # [D, HB*D]
+
+    for mi in range(m):
+        qa_t = qa_ref[0, mi]
+        loc_t = qa_t[:, : nlvl * p * 2]
+        attn_t = qa_t[:, nlvl * p * 2 :]
+        g = g_ref[0, mi].astype(jnp.bfloat16)
+        g_wide = jnp.dot(
+            g, expand, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)                              # [BQ, HB*D]
+
+        acc = jnp.zeros((w, hb * d), jnp.float32)
+        for pi in range(p):
+            r = lvl * p * 2 + 2 * pi
+            px_row = lqm_ref[0, mi, r : r + 1, :] * w - 0.5  # [1, BQ]
+            py = loc_t[:, r + 1 : r + 2] * h - 0.5
+            a = attn_t[:, lvl * p + pi : lvl * p + pi + 1]
+
+            wx_t = jnp.maximum(0.0, 1.0 - jnp.abs(xs_t - px_row))  # [W, BQ]
+            wy, _ = _lin_weight(ys_wide, py)                       # [BQ, HB*D]
+            z = (a * wy).astype(jnp.bfloat16) * g_wide             # [BQ, HB*D]
+            acc = acc + jnp.dot(
+                wx_t.astype(jnp.bfloat16), z, preferred_element_type=jnp.float32
+            )
+        if banded:
+            off = pl.multiple_of(band * d, 128)
+            cur = dv_ref[0, mi, :, pl.ds(off, hb * d)]
+            dv_ref[0, mi, :, pl.ds(off, hb * d)] = cur + acc.astype(dv_ref.dtype)
+        else:
+            dv_ref[0, mi] = dv_ref[0, mi] + acc.astype(dv_ref.dtype)
+
+
+def _bwd_q_kernel_flat(
+    *refs,
+    shapes: SpatialShapes,
+    lvl_idx: Tuple[int, ...],
+    nlvl: int,
+    d: int,
+    m: int,
+    p: int,
+    bq: int,
+    hb1: int,
+    banded: bool,
+):
+    """dloc/dattn for all flat levels merged, all heads per cell. When
+    ``banded`` the FIRST flat level's value rows are windowed.
+
+    refs: (band_ref?, qa_ref, g_ref, v_ref, dloc_ref, dattn_ref)
+      v_ref [1, M, sum HW, D]
+      dloc_ref [1, M, BQ, n_flat*P*2], dattn_ref [1, M, BQ, n_flat*P]
+    """
+    if banded:
+        band_ref, qa_ref, g_ref, v_ref, dloc_ref, dattn_ref = refs
+        band1 = band_ref[pl.program_id(0), pl.program_id(1)]
+    else:
+        qa_ref, g_ref, v_ref, dloc_ref, dattn_ref = refs
 
     starts = [0]
     for hh, ww in shapes:
         starts.append(starts[-1] + hh * ww)
-    sum_hw = starts[-1]
 
-    # transposed interpolation rows: [sum HW, BQ], attn folded in, all
-    # points and levels pre-summed (d_V is linear in each)
-    segs = []
-    for li, ((h, w), lvl) in enumerate(zip(shapes, lvl_idx)):
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (h * w, bq), 0)
-        ry = (rows_i // w).astype(jnp.float32)
-        rx = (rows_i % w).astype(jnp.float32)
-        seg = None
-        for pi in range(p):
-            r = lvl * p * 2 + 2 * pi
-            px_row = loc_ref[0, 0, r : r + 1, :] * w - 0.5           # [1, BQ]
-            py_row = loc_ref[0, 0, r + 1 : r + 2, :] * h - 0.5
-            a_row = attn_ref[0, 0, lvl * p + pi : lvl * p + pi + 1, :]
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - px_row))
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - py_row))
-            term = wx * wy * a_row
-            seg = term if seg is None else seg + term
-        segs.append(seg)
-    w2d_t = jnp.concatenate(segs, axis=0).astype(jnp.bfloat16)  # [sum HW, BQ]
-    dv_ref[0, 0] = dv_ref[0, 0] + jnp.dot(
-        w2d_t, g, preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
+    for mi in range(m):
+        qa_t = qa_ref[0, mi]
+        loc_t = qa_t[:, : nlvl * p * 2]
+        attn_t = qa_t[:, nlvl * p * 2 :]
+        g = g_ref[0, mi].astype(jnp.float32)
+
+        dloc_cols = []
+        dattn_cols = []
+        for li, ((h, w), lvl) in enumerate(zip(shapes, lvl_idx)):
+            if banded and li == 0:
+                nrow = hb1
+                y_base = band1.astype(jnp.float32)
+                vi = v_ref[0, mi, pl.ds(band1 * w, hb1 * w), :].astype(
+                    jnp.bfloat16
+                )
+            else:
+                nrow = h
+                y_base = jnp.float32(0.0)
+                vi = v_ref[0, mi, starts[li] : starts[li + 1], :].astype(
+                    jnp.bfloat16
+                )
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bq, nrow * w), 1)
+            lane_y = (lane // w).astype(jnp.float32) + y_base
+            lane_x = (lane % w).astype(jnp.float32)
+            for pi in range(p):
+                px = loc_t[:, lvl * p * 2 + 2 * pi : lvl * p * 2 + 2 * pi + 1] * w - 0.5
+                py = loc_t[:, lvl * p * 2 + 2 * pi + 1 : lvl * p * 2 + 2 * pi + 2] * h - 0.5
+                a = attn_t[:, lvl * p + pi : lvl * p + pi + 1]
+                wx, dwx = _lin_weight(lane_x, px)
+                wy, dwy = _lin_weight(lane_y, py)
+                tap = jnp.dot(
+                    (wx * wy).astype(jnp.bfloat16), vi,
+                    preferred_element_type=jnp.float32,
+                )                                           # [BQ, D]
+                tap_dx = jnp.dot(
+                    (dwx * wy).astype(jnp.bfloat16), vi,
+                    preferred_element_type=jnp.float32,
+                )
+                tap_dy = jnp.dot(
+                    (wx * dwy).astype(jnp.bfloat16), vi,
+                    preferred_element_type=jnp.float32,
+                )
+                dattn_cols.append(jnp.sum(g * tap, axis=1, keepdims=True))
+                dloc_cols.append(a * jnp.sum(g * tap_dx, axis=1, keepdims=True) * w)
+                dloc_cols.append(a * jnp.sum(g * tap_dy, axis=1, keepdims=True) * h)
+
+        dloc_ref[0, mi] = jnp.concatenate(dloc_cols, axis=1).astype(dloc_ref.dtype)
+        dattn_ref[0, mi] = jnp.concatenate(dattn_cols, axis=1).astype(dattn_ref.dtype)
+
+
+def _bwd_v_kernel_flat(
+    *refs,
+    shapes: SpatialShapes,
+    lvl_idx: Tuple[int, ...],
+    d: int,
+    m: int,
+    p: int,
+    bq: int,
+    nlvl: int,
+    hb1: int,
+    banded: bool,
+):
+    """d_value for the merged flat levels, all heads per cell, accumulated
+    along the grid's q axis. The banded first level accumulates into a
+    dynamic sublane slice.
+
+    refs: (band_ref?, lqm_ref, aqm_ref, g_ref, dv_ref)
+      lqm_ref [1, M, L*P*2, BQ] / aqm_ref [1, M, L*P, BQ]  Q-minor loc/attn
+      dv_ref  [1, M, sum HW, D] f32
+    """
+    if banded:
+        band_ref, lqm_ref, aqm_ref, g_ref, dv_ref = refs
+        band1 = band_ref[pl.program_id(0), pl.program_id(1)]
+    else:
+        lqm_ref, aqm_ref, g_ref, dv_ref = refs
+
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _zero():
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    starts = [0]
+    for hh, ww in shapes:
+        starts.append(starts[-1] + hh * ww)
+
+    for mi in range(m):
+        g = g_ref[0, mi].astype(jnp.bfloat16)               # [BQ, D]
+
+        for li, ((h, w), lvl) in enumerate(zip(shapes, lvl_idx)):
+            if banded and li == 0:
+                nrow = hb1
+                y_base = band1.astype(jnp.float32)
+            else:
+                nrow = h
+                y_base = jnp.float32(0.0)
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (nrow * w, bq), 0)
+            ry = (rows_i // w).astype(jnp.float32) + y_base
+            rx = (rows_i % w).astype(jnp.float32)
+            seg = None
+            for pi in range(p):
+                r = lvl * p * 2 + 2 * pi
+                px_row = lqm_ref[0, mi, r : r + 1, :] * w - 0.5
+                py_row = lqm_ref[0, mi, r + 1 : r + 2, :] * h - 0.5
+                a_row = aqm_ref[0, mi, lvl * p + pi : lvl * p + pi + 1, :]
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - px_row))
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - py_row))
+                term = wx * wy * a_row
+                seg = term if seg is None else seg + term
+            contrib = jnp.dot(
+                seg.astype(jnp.bfloat16), g, preferred_element_type=jnp.float32
+            ).astype(dv_ref.dtype)                          # [nrow*w, D]
+            if banded and li == 0:
+                sl = pl.ds(band1 * w, hb1 * w)
+                dv_ref[0, mi, sl, :] = dv_ref[0, mi, sl, :] + contrib
+            else:
+                lo = starts[li]
+                hi = starts[li + 1]
+                dv_ref[0, mi, lo:hi, :] = dv_ref[0, mi, lo:hi, :] + contrib
+
+
+def _pallas(kernel, grid, in_specs, out_specs, out_shape, band=None):
+    if band is not None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        return functools.partial(
+            pl.pallas_call(
+                kernel, grid_spec=grid_spec, out_shape=out_shape,
+                compiler_params=_LIMIT,
+            ),
+            band,
+        )
+    return pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, compiler_params=_LIMIT,
+    )
 
 
 def msda_backward_hm(
@@ -290,8 +402,15 @@ def msda_backward_hm(
     sep_bq: int,
     flat_bq: int,
     flat_max_pixels: int,
+    pixel_queries: bool = False,
 ):
     """Returns (d_value_hm [N, M, S, D] f32, d_loc, d_attn)."""
+    from tce_rvos_tpu.ops.pallas_msda import (
+        _band_and_escape,
+        _flat_band_rows,
+        _sep_band_rows,
+    )
+
     n, m, s, d = value_hm.shape
     q = loc.shape[1]
     nlvl = len(spatial_shapes)
@@ -299,14 +418,19 @@ def msda_backward_hm(
     starts = level_splits(spatial_shapes)
     value_hm = value_hm.astype(jnp.bfloat16)
 
-    pad = (-q) % max(sep_bq, flat_bq)
+    bq = max(sep_bq, flat_bq)
+    pad = (-q) % bq
     qp = q + pad
-    # Q-major pack for the q-grad kernels (same layout as the forward)
+    nblk = qp // bq
+    # Q-major pack (same layout as the forward)
     qa = jnp.concatenate(
         [loc.reshape(n, q, m, nlvl * p * 2), attn.reshape(n, q, m, nlvl * p)],
         axis=-1,
     )
     qa = jnp.pad(qa, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    g_nm = jnp.pad(
+        g.reshape(n, q, m, d), ((0, 0), (0, pad), (0, 0), (0, 0))
+    ).transpose(0, 2, 1, 3)                                 # [N, M, Qp, D]
     # Q-minor layouts for the value-grad kernels (their transposed builds
     # want queries in lanes)
     loc_qmin = jnp.pad(
@@ -315,9 +439,6 @@ def msda_backward_hm(
     attn_qmin = jnp.pad(
         attn.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
     ).transpose(0, 2, 1).reshape(n, m, nlvl * p, qp)
-    g_nm = jnp.pad(
-        g.reshape(n, q, m, d), ((0, 0), (0, pad), (0, 0), (0, 0))
-    ).transpose(0, 2, 1, 3)                                 # [N, M, Qp, D]
 
     sep_lvls = [
         lvl for lvl, (h, w) in enumerate(spatial_shapes)
@@ -325,75 +446,128 @@ def msda_backward_hm(
     ]
     flat_lvls = [lvl for lvl in range(nlvl) if lvl not in sep_lvls]
 
-    def qspec(rows, bq):
+    def block_rows(h_lvl: int) -> int:
+        if not (pixel_queries and sep_lvls[:1] == [0]):
+            return 0
+        h0, w0 = spatial_shapes[0]
+        r = -(-(bq * h_lvl) // (h0 * w0))
+        if (bq * h_lvl) % (h0 * w0):
+            r += 1  # blocks not row-aligned can straddle one extra row
+        return r
+
+    nb0 = 0
+    if pixel_queries and sep_lvls[:1] == [0]:
+        h0, w0 = spatial_shapes[0]
+        if _sep_band_rows(h0, d, block_rows(h0)):
+            nb0 = min(h0 * w0 // bq, nblk)
+    groups = [(0, nb0), (nb0, nblk - nb0)] if nb0 else [(0, nblk)]
+
+    k = qa.shape[3]
+
+    def qa_spec(blk_off):
         return pl.BlockSpec(
-            (1, 1, rows, bq), lambda ni, mi, qi: (ni, mi, 0, qi), **_VMEM
+            (1, m, bq, k), lambda ni, qi, *_: (ni, 0, qi + blk_off, 0), **_VMEM
         )
 
-    def gspec(bq):
+    def g_spec(blk_off):
         return pl.BlockSpec(
-            (1, 1, bq, d), lambda ni, mi, qi: (ni, mi, qi, 0), **_VMEM
+            (1, m, bq, d), lambda ni, qi, *_: (ni, 0, qi + blk_off, 0), **_VMEM
         )
 
-    def ospec(bq, cols):
+    def lqm_spec(blk_off):
         return pl.BlockSpec(
-            (1, 1, bq, cols), lambda ni, mi, qi: (ni, mi, qi, 0), **_VMEM
+            (1, m, nlvl * p * 2, bq),
+            lambda ni, qi, *_: (ni, 0, 0, qi + blk_off), **_VMEM,
         )
 
-    dloc_lvl = [None] * nlvl    # each [N, M, Qp, P*2]
-    dattn_lvl = [None] * nlvl   # each [N, M, Qp, P]
+    def aqm_spec(blk_off):
+        return pl.BlockSpec(
+            (1, m, nlvl * p, bq),
+            lambda ni, qi, *_: (ni, 0, 0, qi + blk_off), **_VMEM,
+        )
+
+    dloc_lvl = [None] * nlvl    # each [N, M, Qp(assembled), P*2]
+    dattn_lvl = [None] * nlvl
     dvalue_rows = [None] * nlvl  # each [N, M, HW_l, D] natural layout (f32)
 
     # ---- separable levels ----
     for lvl in sep_lvls:
         h, w = spatial_shapes[lvl]
-        v_t = (
+        v_y = (
             value_hm[:, :, starts[lvl] : starts[lvl + 1]]
             .reshape(n, m, h, w, d)
-            .transpose(0, 1, 3, 4, 2)
-            .reshape(n, m, w, d * h)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(n, m, w, h * d)
         )
-        grid = (n, m, qp // sep_bq)
-        dloc, dattn = pl.pallas_call(
-            functools.partial(
-                _msda_bwd_q_kernel_sep, h=h, w=w, d=d, p=p, bq=sep_bq,
-                lvl=lvl, nlvl=nlvl,
-            ),
-            grid=grid,
-            in_specs=[
-                ospec(sep_bq, qa.shape[3]),
-                gspec(sep_bq),
-                pl.BlockSpec(
-                    (1, 1, w, d * h), lambda ni, mi, qi: (ni, mi, 0, 0), **_VMEM
-                ),
-            ],
-            out_specs=[ospec(sep_bq, p * 2), ospec(sep_bq, p)],
-            out_shape=[
-                jax.ShapeDtypeStruct((n, m, qp, p * 2), jnp.float32),
-                jax.ShapeDtypeStruct((n, m, qp, p), jnp.float32),
-            ],
-            compiler_params=_LIMIT,
-        )(qa, g_nm, v_t)
-        dloc_lvl[lvl], dattn_lvl[lvl] = dloc, dattn
+        hbv = _sep_band_rows(h, d, block_rows(h)) if nb0 else 0
 
-        dv_t = pl.pallas_call(
-            functools.partial(
-                _msda_bwd_v_kernel_sep, h=h, w=w, d=d, p=p, bq=sep_bq, lvl=lvl
-            ),
-            grid=grid,
-            in_specs=[
-                qspec(nlvl * p * 2, sep_bq), qspec(nlvl * p, sep_bq),
-                gspec(sep_bq),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, w, d * h), lambda ni, mi, qi: (ni, mi, 0, 0), **_VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((n, m, w, d * h), jnp.float32),
-            compiler_params=_LIMIT,
-        )(loc_qmin, attn_qmin, g_nm)
+        def run_sep(band, hb, blk_off, cnt):
+            kq = functools.partial(
+                _bwd_q_kernel_sep, h=h, w=w, d=d, m=m, p=p, bq=bq, lvl=lvl,
+                nlvl=nlvl, hb=hb, banded=band is not None,
+            )
+            v_spec = pl.BlockSpec(
+                (1, m, w, h * d), lambda ni, qi, *_: (ni, 0, 0, 0), **_VMEM
+            )
+            dq = _pallas(
+                kq, (n, cnt),
+                [qa_spec(blk_off), g_spec(blk_off), v_spec],
+                [
+                    pl.BlockSpec(
+                        (1, m, bq, p * 2),
+                        lambda ni, qi, *_: (ni, 0, qi, 0), **_VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, m, bq, p),
+                        lambda ni, qi, *_: (ni, 0, qi, 0), **_VMEM,
+                    ),
+                ],
+                [
+                    jax.ShapeDtypeStruct((n, m, cnt * bq, p * 2), jnp.float32),
+                    jax.ShapeDtypeStruct((n, m, cnt * bq, p), jnp.float32),
+                ],
+                band=band,
+            )(qa, g_nm, v_y)
+
+            kv = functools.partial(
+                _bwd_v_kernel_sep, h=h, w=w, d=d, m=m, p=p, bq=bq, lvl=lvl,
+                nlvl=nlvl, hb=hb, banded=band is not None,
+            )
+            dv = _pallas(
+                kv, (n, cnt),
+                [qa_spec(blk_off), lqm_spec(blk_off), g_spec(blk_off)],
+                pl.BlockSpec(
+                    (1, m, w, h * d), lambda ni, qi, *_: (ni, 0, 0, 0), **_VMEM
+                ),
+                jax.ShapeDtypeStruct((n, m, w, h * d), jnp.float32),
+                band=band,
+            )(qa, loc_qmin, g_nm)
+            return dq[0], dq[1], dv
+
+        parts = []
+        for gi, (off, cnt) in enumerate(groups):
+            if cnt == 0:
+                continue
+            if gi == 0 and nb0 and hbv:
+                py = loc[:, : nb0 * bq, :, lvl, :, 1] * h - 0.5
+                band, esc = _band_and_escape(
+                    py, nb0, bq, h, hbv, quant=max(128 // d, 1)
+                )
+                parts.append(jax.lax.cond(
+                    esc,
+                    lambda: run_sep(None, h, 0, nb0),
+                    lambda: run_sep(band, hbv, 0, nb0),
+                ))
+            else:
+                parts.append(run_sep(None, h, off, cnt))
+        dloc_lvl[lvl] = jnp.concatenate([x[0] for x in parts], axis=2)
+        dattn_lvl[lvl] = jnp.concatenate([x[1] for x in parts], axis=2)
+        dv_t = parts[0][2]
+        for x in parts[1:]:
+            dv_t = dv_t + x[2]
         dvalue_rows[lvl] = (
-            dv_t.reshape(n, m, w, d, h)
-            .transpose(0, 1, 4, 2, 3)                 # [N, M, H, W, D]
+            dv_t.reshape(n, m, w, h, d)
+            .transpose(0, 1, 3, 2, 4)                 # [N, M, H, W, D]
             .reshape(n, m, h * w, d)
         )
 
@@ -401,56 +575,90 @@ def msda_backward_hm(
     if flat_lvls:
         assert flat_lvls == list(range(flat_lvls[0], nlvl)), flat_lvls
         f_shapes = tuple(spatial_shapes[lvl] for lvl in flat_lvls)
-        sum_hw = sum(h * w for h, w in f_shapes)
+        sum_hw = sum(hh * ww for hh, ww in f_shapes)
         v_flat = value_hm[:, :, starts[flat_lvls[0]] : starts[nlvl]]
         nfl = len(flat_lvls)
-        grid = (n, m, qp // flat_bq)
-        dloc_f, dattn_f = pl.pallas_call(
-            functools.partial(
-                _msda_bwd_q_kernel_flat,
-                shapes=f_shapes, lvl_idx=tuple(flat_lvls), nlvl=nlvl,
-                d=d, p=p, bq=flat_bq,
-            ),
-            grid=grid,
-            in_specs=[
-                ospec(flat_bq, qa.shape[3]),
-                gspec(flat_bq),
+        h1, w1 = f_shapes[0]
+        hb1 = _flat_band_rows(h1, block_rows(h1)) if nb0 else 0
+        can_band = (
+            nb0 > 0 and hb1 > 0 and h1 * w1 > flat_max_pixels // 2
+            and w1 % 8 == 0
+        )
+
+        def run_flat(band, hb, blk_off, cnt):
+            kq = functools.partial(
+                _bwd_q_kernel_flat, shapes=f_shapes, lvl_idx=tuple(flat_lvls),
+                nlvl=nlvl, d=d, m=m, p=p, bq=bq, hb1=hb,
+                banded=band is not None,
+            )
+            v_spec = pl.BlockSpec(
+                (1, m, sum_hw, d), lambda ni, qi, *_: (ni, 0, 0, 0), **_VMEM
+            )
+            dq = _pallas(
+                kq, (n, cnt),
+                [qa_spec(blk_off), g_spec(blk_off), v_spec],
+                [
+                    pl.BlockSpec(
+                        (1, m, bq, nfl * p * 2),
+                        lambda ni, qi, *_: (ni, 0, qi, 0), **_VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, m, bq, nfl * p),
+                        lambda ni, qi, *_: (ni, 0, qi, 0), **_VMEM,
+                    ),
+                ],
+                [
+                    jax.ShapeDtypeStruct(
+                        (n, m, cnt * bq, nfl * p * 2), jnp.float32
+                    ),
+                    jax.ShapeDtypeStruct((n, m, cnt * bq, nfl * p), jnp.float32),
+                ],
+                band=band,
+            )(qa, g_nm, v_flat)
+
+            kv = functools.partial(
+                _bwd_v_kernel_flat, shapes=f_shapes, lvl_idx=tuple(flat_lvls),
+                d=d, m=m, p=p, bq=bq, nlvl=nlvl, hb1=hb,
+                banded=band is not None,
+            )
+            dv = _pallas(
+                kv, (n, cnt),
+                [lqm_spec(blk_off), aqm_spec(blk_off), g_spec(blk_off)],
                 pl.BlockSpec(
-                    (1, 1, sum_hw, d), lambda ni, mi, qi: (ni, mi, 0, 0), **_VMEM
+                    (1, m, sum_hw, d), lambda ni, qi, *_: (ni, 0, 0, 0), **_VMEM
                 ),
-            ],
-            out_specs=[ospec(flat_bq, nfl * p * 2), ospec(flat_bq, nfl * p)],
-            out_shape=[
-                jax.ShapeDtypeStruct((n, m, qp, nfl * p * 2), jnp.float32),
-                jax.ShapeDtypeStruct((n, m, qp, nfl * p), jnp.float32),
-            ],
-            compiler_params=_LIMIT,
-        )(qa, g_nm, v_flat)
+                jax.ShapeDtypeStruct((n, m, sum_hw, d), jnp.float32),
+                band=band,
+            )(loc_qmin, attn_qmin, g_nm)
+            return dq[0], dq[1], dv
+
+        parts = []
+        for gi, (off, cnt) in enumerate(groups):
+            if cnt == 0:
+                continue
+            if gi == 0 and can_band:
+                py1 = loc[:, : nb0 * bq, :, flat_lvls[0], :, 1] * h1 - 0.5
+                band1, esc1 = _band_and_escape(py1, nb0, bq, h1, hb1, quant=1)
+                parts.append(jax.lax.cond(
+                    esc1,
+                    lambda: run_flat(None, 0, 0, nb0),
+                    lambda: run_flat(band1, hb1, 0, nb0),
+                ))
+            else:
+                parts.append(run_flat(None, 0, off, cnt))
+        dloc_f = jnp.concatenate([x[0] for x in parts], axis=2)
+        dattn_f = jnp.concatenate([x[1] for x in parts], axis=2)
+        dv_flat = parts[0][2]
+        for x in parts[1:]:
+            dv_flat = dv_flat + x[2]
         for li, lvl in enumerate(flat_lvls):
             dloc_lvl[lvl] = dloc_f[..., li * p * 2 : (li + 1) * p * 2]
             dattn_lvl[lvl] = dattn_f[..., li * p : (li + 1) * p]
-
-        dv_flat = pl.pallas_call(
-            functools.partial(
-                _msda_bwd_v_kernel_flat,
-                shapes=f_shapes, lvl_idx=tuple(flat_lvls), d=d, p=p, bq=flat_bq,
-            ),
-            grid=grid,
-            in_specs=[
-                qspec(nlvl * p * 2, flat_bq), qspec(nlvl * p, flat_bq),
-                gspec(flat_bq),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, sum_hw, d), lambda ni, mi, qi: (ni, mi, 0, 0), **_VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((n, m, sum_hw, d), jnp.float32),
-            compiler_params=_LIMIT,
-        )(loc_qmin, attn_qmin, g_nm)
-        off = 0
+        off2 = 0
         for li, lvl in enumerate(flat_lvls):
-            h, w = f_shapes[li]
-            dvalue_rows[lvl] = dv_flat[:, :, off : off + h * w]
-            off += h * w
+            hh, ww = f_shapes[li]
+            dvalue_rows[lvl] = dv_flat[:, :, off2 : off2 + hh * ww]
+            off2 += hh * ww
 
     d_value_hm = jnp.concatenate(dvalue_rows, axis=2)       # [N, M, S, D] f32
 
