@@ -60,6 +60,63 @@ def main():
         a, b = np.asarray(a), np.asarray(b)
         print(f"bwd {nm}: rel err {np.abs(a - b).max() / np.abs(a).max():.3e}")
 
+    # ---- BANDED path (pixel_queries=True), native: encoder-realistic
+    # structured locations = own pixel position + small offsets ----
+    ref = np.concatenate(
+        [
+            np.stack(
+                np.meshgrid(
+                    (np.arange(w) + 0.5) / w, (np.arange(h) + 0.5) / h,
+                    indexing="xy",
+                ),
+                axis=-1,
+            ).reshape(h * w, 2)
+            for h, w in shapes
+        ],
+        axis=0,
+    )
+    off = (rng.rand(n, s, m, len(shapes), p, 2) * 2 - 1) * 3.0
+    norm = np.asarray([[w, h] for h, w in shapes], np.float32)
+    loc_px = jnp.asarray(
+        (
+            ref[None, :, None, None, None, :]
+            + off / norm[None, None, None, :, None, :]
+        ).astype(np.float32)
+    )
+    f_band = jax.jit(
+        lambda v, l, a: ms_deform_attn_pallas(
+            v, shapes, l, a, pixel_queries=True
+        )
+    )
+    o_band = jax.block_until_ready(f_band(value, loc_px, attn))
+    o_ref = f_xla(value, loc_px, attn)
+    rel = float(jnp.max(jnp.abs(o_band - o_ref))) / (
+        float(jnp.max(jnp.abs(o_ref))) + 1e-9
+    )
+    print(f"banded fwd parity (native): rel err {rel:.3e}")
+    assert rel < 2e-2, rel
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = f_band(value, loc_px, attn)
+    jax.block_until_ready(out)
+    print(f"pallas banded: {(time.perf_counter() - t0) / 20 * 1e3:.3f} ms/call")
+
+    gb = jax.jit(jax.grad(
+        lambda v, l, a: (
+            ms_deform_attn_pallas(v, shapes, l, a, pixel_queries=True) * g
+        ).sum(),
+        argnums=(0, 1, 2),
+    ))(value, loc_px, attn)
+    go = jax.jit(jax.grad(
+        lambda v, l, a: (ms_deform_attn(v, shapes, l, a) * g).sum(),
+        argnums=(0, 1, 2),
+    ))(value, loc_px, attn)
+    for nm, a, b in zip(("d_value", "d_loc", "d_attn"), go, gb):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / np.abs(a).max()
+        print(f"banded bwd {nm} (native): rel err {rel:.3e}")
+        assert rel < 3e-2, (nm, rel)
+
 
 if __name__ == "__main__":
     main()
