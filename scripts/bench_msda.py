@@ -27,7 +27,7 @@ K1, K2, TRIALS = 2, 18, 4
 
 def make_inputs(k, seed, head_major=False):
     rng = np.random.RandomState(seed)
-    vshape = (k, M, N, S, D) if head_major else (k, N, S, M, D)
+    vshape = (k, N, M, S, D) if head_major else (k, N, S, M, D)
     value = jnp.asarray(rng.randn(*vshape).astype(np.float32))
     loc = jnp.asarray(rng.rand(k, N, Q, M, L, P, 2).astype(np.float32))
     attn = rng.rand(k, N, Q, M, L, P).astype(np.float32)
@@ -72,7 +72,7 @@ class Variant:
 
 
 def main():
-    which = sys.argv[1:] or ["pallas", "pallas_hm"]
+    which = sys.argv[1:] or ["pallas", "pallas_nm"]
     variants = []
     if "xla" in which:
         from tce_rvos_tpu.ops.msda import ms_deform_attn
@@ -86,13 +86,13 @@ def main():
         variants.append(
             Variant("pallas [N,S,M,D]", lambda v, l, a: ms_deform_attn_pallas(v, SHAPES, l, a))
         )
-    if "pallas_hm" in which:
-        from tce_rvos_tpu.ops.pallas_msda import ms_deform_attn_pallas_hm
+    if "pallas_nm" in which:
+        from tce_rvos_tpu.ops.pallas_msda import ms_deform_attn_pallas_nm
 
         variants.append(
             Variant(
-                "pallas_hm [M,N,S,D]",
-                lambda v, l, a: ms_deform_attn_pallas_hm(v, SHAPES, l, a),
+                "pallas_nm [N,M,S,D]",
+                lambda v, l, a: ms_deform_attn_pallas_nm(v, SHAPES, l, a),
                 head_major=True,
             )
         )

@@ -54,6 +54,26 @@ def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
     return init
 
 
+class _HeadMajorDense(nn.Module):
+    """nn.Dense-compatible linear (same param tree: kernel [C, F], bias
+    [F]) whose output is emitted HEAD-MAJOR [N, M, S, D] — the layout the
+    Pallas MSDA kernels consume — so no [N,S,M,D] -> [N,M,S,D] relayout
+    survives the projection."""
+
+    features: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, x):  # x: [N, S, C]
+        c = x.shape[-1]
+        kernel = self.param("kernel", xavier, (c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        d = self.features // self.n_heads
+        k = kernel.reshape(c, self.n_heads, d).astype(x.dtype)
+        b = bias.reshape(self.n_heads, d).astype(x.dtype)
+        return jnp.einsum("nsc,cmd->nmsd", x, k) + b[None, :, None, :]
+
+
 class MSDeformAttnLayer(nn.Module):
     """Multi-scale deformable attention module (parameter layout and
     semantics of reference models/ops/modules/ms_deform_attn.py:31-117;
@@ -83,12 +103,26 @@ class MSDeformAttnLayer(nn.Module):
         n, q_len, _ = query.shape
         s = input_flatten.shape[1]
 
-        value = nn.Dense(self.d_model, kernel_init=xavier, name="value_proj")(
-            input_flatten
-        )
-        if padding_mask is not None:
-            value = jnp.where(padding_mask[..., None], 0.0, value)
-        value = value.reshape(n, s, m, self.d_model // m)
+        if self.impl == "pallas":
+            # head-major projection: the kernels consume value as
+            # [N, M, S, D], so emit it directly from the projection
+            # (einsum with the Dense-compatible [C, C] kernel reshaped
+            # per-head) instead of projecting to [N, S, C] and paying a
+            # relayout. Identical parameters/semantics to nn.Dense.
+            value_nm = _HeadMajorDense(self.d_model, m, name="value_proj")(
+                input_flatten
+            )
+            if padding_mask is not None:
+                value_nm = jnp.where(
+                    padding_mask[:, None, :, None], 0.0, value_nm
+                )
+        else:
+            value = nn.Dense(
+                self.d_model, kernel_init=xavier, name="value_proj"
+            )(input_flatten)
+            if padding_mask is not None:
+                value = jnp.where(padding_mask[..., None], 0.0, value)
+            value = value.reshape(n, s, m, self.d_model // m)
 
         offsets = nn.Dense(
             m * l * p * 2,
@@ -121,10 +155,10 @@ class MSDeformAttnLayer(nn.Module):
             raise ValueError("reference_points last dim must be 2 or 4")
 
         if self.impl == "pallas":
-            from tce_rvos_tpu.ops.pallas_msda import ms_deform_attn_pallas
+            from tce_rvos_tpu.ops.pallas_msda import ms_deform_attn_pallas_nm
 
-            out = ms_deform_attn_pallas(
-                value, spatial_shapes, loc, attn,
+            out = ms_deform_attn_pallas_nm(
+                value_nm, spatial_shapes, loc, attn,
                 pixel_queries=self.pixel_queries,
             )
         else:

@@ -654,42 +654,3 @@ def _bwd_nm(spatial_shapes, pixel_queries, res, g):
 
 
 ms_deform_attn_pallas_nm.defvjp(_fwd_nm, _bwd_nm)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def ms_deform_attn_pallas_hm(
-    value_hm: jnp.ndarray,
-    spatial_shapes: SpatialShapes,
-    sampling_locations: jnp.ndarray,
-    attention_weights: jnp.ndarray,
-) -> jnp.ndarray:
-    """Head-leading variant: ``value_hm`` is [M, N, S, D]. Semantics
-    identical to ``ms_deform_attn_pallas(value_hm.transpose(1,2,0,3), ...)``
-    without the [N,S,M,D] -> [N,M,S,D] transpose."""
-    return _forward_hm(value_hm, spatial_shapes, sampling_locations,
-                       attention_weights)
-
-
-def _forward_hm(value_hm, spatial_shapes, loc, attn):
-    out_dtype = value_hm.dtype
-    value_nm = value_hm.transpose(1, 0, 2, 3).astype(jnp.bfloat16)
-    return _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype)
-
-
-def _fwd_hm(value_hm, spatial_shapes, loc, attn):
-    return _forward_hm(value_hm, spatial_shapes, loc, attn), (value_hm, loc, attn)
-
-
-def _bwd_hm(spatial_shapes, res, g):
-    from tce_rvos_tpu.ops.pallas_msda_bwd import msda_backward_hm
-
-    value_hm, loc, attn = res
-    sep_bq, flat_bq = _bwd_block_sizes(loc.shape[1])
-    dv, dloc, dattn = msda_backward_hm(
-        value_hm.transpose(1, 0, 2, 3), spatial_shapes, loc, attn, g,
-        sep_bq, flat_bq, BWD_FLAT_MAX_PIXELS,
-    )
-    return dv.transpose(1, 0, 2, 3).astype(value_hm.dtype), dloc, dattn
-
-
-ms_deform_attn_pallas_hm.defvjp(_fwd_hm, _bwd_hm)

@@ -91,3 +91,34 @@ def test_forward_jits_and_is_deterministic():
     np.testing.assert_array_equal(
         np.asarray(o1["pred_masks"]), np.asarray(o2["pred_masks"])
     )
+
+
+def test_pallas_impl_param_tree_matches_xla():
+    """The pallas path's head-major value projection must declare the SAME
+    parameter tree as the xla path's nn.Dense (checkpoint compatibility:
+    value_proj/{kernel,bias} with identical shapes)."""
+    import jax
+    import numpy as np
+    from tce_rvos_tpu.config import ModelConfig
+    from tce_rvos_tpu.models.build import build_model, example_inputs
+
+    base = dict(
+        enc_layers=1, dec_layers=1, dim_feedforward=32, binary=True,
+        text_encoder_layers=1, text_encoder_hidden=32, text_encoder_heads=2,
+        text_encoder_intermediate=64, num_frames=2, f_token=2, qtrans=True,
+    )
+    trees = {}
+    for impl in ("xla", "pallas"):
+        cfg = ModelConfig(msda_impl=impl, **base)
+        model = build_model(cfg)
+        inputs = example_inputs(cfg, b=1, t=2, hw=(32, 32))
+        if impl == "pallas":
+            # init only traces shapes; run the pallas kernels interpreted
+            from jax.experimental.pallas import tpu as pltpu
+
+            with pltpu.force_tpu_interpret_mode():
+                v = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+        else:
+            v = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+        trees[impl] = jax.tree_util.tree_map(lambda x: x.shape, v)
+    assert trees["xla"] == trees["pallas"]
