@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tce_rvos_tpu.ops.msda import SpatialShapes, level_splits
 
 _VMEM = dict(memory_space=pltpu.VMEM)
-_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _lin_weight(coord, centers):

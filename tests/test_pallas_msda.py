@@ -243,3 +243,30 @@ def test_nm_variant_matches_default(inputs):
             )
         )
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_3d_matches_oracle():
+    """The temporal (is_3d) Pallas forward must match the XLA trilinear
+    oracle (ops/msda.py::ms_deform_attn_3d; ref CUDA
+    ms_deform_im2col_cuda.cuh:366-420) — including frame coordinates that
+    reach outside [0, N-1] (zero contribution) and fractional frames that
+    lerp across two batch slices. First level is >1024 px so BOTH the
+    separable-3d and flat-3d kernels are exercised."""
+    from tce_rvos_tpu.ops.msda import ms_deform_attn_3d
+    from tce_rvos_tpu.ops.pallas_msda_3d import ms_deform_attn_pallas_3d
+
+    shapes = ((40, 32), (4, 8))
+    n, m, d, q, p = 3, 2, 8, 10, 3
+    l = len(shapes)
+    s = sum(h * w for h, w in shapes)
+    rng = np.random.RandomState(7)
+    value = jnp.asarray(rng.randn(n, s, m, d).astype(np.float32))
+    loc = rng.rand(n, q, m, l, p, 3).astype(np.float32) * 1.2 - 0.1
+    loc = jnp.asarray(loc)
+    attn = rng.rand(n, q, m, l, p).astype(np.float32) + 1e-3
+    attn = jnp.asarray(attn / attn.reshape(n, q, m, l * p).sum(-1)[..., None, None])
+
+    expected = np.asarray(ms_deform_attn_3d(value, shapes, loc, attn))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ms_deform_attn_pallas_3d(value, shapes, loc, attn))
+    np.testing.assert_allclose(got, expected, rtol=0.05, atol=5e-3)
