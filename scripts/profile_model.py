@@ -1,11 +1,6 @@
 """Device-profile the full flagship model forward (bf16, Pallas MSDA),
 aggregating the device timeline by op-name prefix."""
 
-import collections
-import glob
-import gzip
-import json
-import re
 import sys
 import tempfile
 
@@ -40,33 +35,10 @@ def main():
     with jax.profiler.trace(tmp):
         for _ in range(reps):
             jax.block_until_ready(fwd(variables, **inputs))
-    p = glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True)[0]
-    with gzip.open(p) as fh:
-        tr = json.load(fh)
-    ev = tr["traceEvents"]
-    pids = {
-        e["pid"]: e["args"].get("name", "")
-        for e in ev
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    durs = collections.defaultdict(float)
-    cnt = collections.Counter()
-    total = 0.0
-    for e in ev:
-        if e.get("ph") == "X" and "dur" in e and "TPU" in pids.get(e["pid"], ""):
-            name = e["name"]
-            if name.startswith("jit_"):
-                continue
-            # branch bodies are nested inside their cond.* span — counting
-            # both would double-book the banded MSDA kernels
-            if not name.startswith("branch_"):
-                total += e["dur"]
-            key = re.sub(r"[.\d]+$", "", name)
-            durs[key] += e["dur"]
-            cnt[key] += 1
-    print(f"=== device total: {total/reps/1e3:.2f} ms/forward ({dtype}) ===")
-    for k, v in sorted(durs.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"{v/reps/1e3:9.3f} ms  x{cnt[k]//reps:4d}  {k[:70]}")
+    from _timeline import load_tpu_events, print_breakdown, self_time_aggregate
+
+    total, agg = self_time_aggregate(load_tpu_events(tmp), reps)
+    print_breakdown(total, agg, f"forward ({dtype})", top=40)
 
 
 if __name__ == "__main__":

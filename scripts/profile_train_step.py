@@ -4,11 +4,6 @@ timeline by op-name prefix so the ~400 ms/step decomposes into MSDA
 forward kernels, MSDA backward kernels, remat recompute, dense bwd
 matmuls, and the optimizer."""
 
-import collections
-import glob
-import gzip
-import json
-import re
 import sys
 import tempfile
 
@@ -58,30 +53,10 @@ def main():
         for _ in range(reps):
             st, loss = one(state, batch, r)
             jax.block_until_ready(loss)
-    p = glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True)[0]
-    with gzip.open(p) as fh:
-        tr = json.load(fh)
-    ev = tr["traceEvents"]
-    pids = {
-        e["pid"]: e["args"].get("name", "")
-        for e in ev
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    durs = collections.defaultdict(float)
-    cnt = collections.Counter()
-    total = 0.0
-    for e in ev:
-        if e.get("ph") == "X" and "dur" in e and "TPU" in pids.get(e["pid"], ""):
-            name = e["name"]
-            if name.startswith("jit_"):
-                continue
-            total += e["dur"]
-            key = re.sub(r"[.\d]+$", "", name)
-            durs[key] += e["dur"]
-            cnt[key] += 1
-    print(f"=== device total: {total/reps/1e3:.2f} ms/step ({impl}) ===")
-    for k, v in sorted(durs.items(), key=lambda kv: -kv[1])[:45]:
-        print(f"{v/reps/1e3:9.3f} ms  x{cnt[k]//reps:4d}  {k[:70]}")
+    from _timeline import load_tpu_events, print_breakdown, self_time_aggregate
+
+    total, agg = self_time_aggregate(load_tpu_events(tmp), reps)
+    print_breakdown(total, agg, f"step ({impl})")
 
 
 if __name__ == "__main__":
