@@ -117,6 +117,20 @@ def main():
         print(f"banded bwd {nm} (native): rel err {rel:.3e}")
         assert rel < 3e-2, (nm, rel)
 
+    f_grad = jax.jit(jax.grad(
+        lambda v, l, a: (
+            ms_deform_attn_pallas(v, shapes, l, a, pixel_queries=True) * g
+        ).sum(),
+        argnums=(0, 1, 2),
+    ))
+    for _ in range(3):
+        jax.block_until_ready(f_grad(value, loc_px, attn))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        gout = f_grad(value, loc_px, attn)
+    jax.block_until_ready(gout)
+    print(f"pallas banded fwd+bwd: {(time.perf_counter() - t0) / 20 * 1e3:.3f} ms/call")
+
 
 if __name__ == "__main__":
     main()

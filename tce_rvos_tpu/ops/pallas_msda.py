@@ -90,6 +90,49 @@ SEP_BAND_QUANT_SLACK = 4  # lane-aligned starts lose up to quant-1 rows
 BWD_FLAT_MAX_PIXELS = 1024
 
 
+def _query_groups(spatial_shapes, q: int, qp: int, bq: int,
+                  pixel_queries: bool):
+    """Partition the padded query blocks into contiguous groups
+    [(blk_off, cnt, src_level | None)].
+
+    ``src_level = j`` means every query of the group's blocks is a level-j
+    pixel (row-major) — those blocks are spatially tight, so their taps
+    into ANY target level live in a narrow y-band (data-driven banded
+    value windows). Blocks that straddle two levels or contain padding get
+    ``None`` (full-height kernels). Round-3 generalization: banding used
+    to apply only to the level-0 prefix; with BQ dividing the level sizes
+    the level-1 blocks are pure too, which shrinks the tail kernels of
+    both the forward and the backward."""
+    nblk = qp // bq
+    if not pixel_queries:
+        return [(0, nblk, None)]
+    starts = level_splits(spatial_shapes)
+    out = []
+    for b in range(nblk):
+        qlo, qhi = b * bq, (b + 1) * bq
+        j = None
+        if qhi <= q:
+            for lvl in range(len(spatial_shapes)):
+                if starts[lvl] <= qlo and qhi <= starts[lvl + 1]:
+                    j = lvl
+                    break
+        if out and out[-1][2] == j:
+            out[-1] = (out[-1][0], out[-1][1] + 1, j)
+        else:
+            out.append((b, 1, j))
+    return out
+
+
+def _span_rows(bq: int, src_hw, h_lvl: int) -> int:
+    """How many rows of a target level (height ``h_lvl``) a block of ``bq``
+    consecutive level-j pixels spans, via the normalized y extent."""
+    hj, wj = src_hw
+    r = -(-(bq * h_lvl) // (hj * wj))
+    if bq % wj:
+        r += 1  # block start not row-aligned: can straddle one extra row
+    return r
+
+
 def _sep_band_rows(h: int, d: int, block_rows: int) -> int:
     """Band-window height for a separable level, or 0 if banding is not
     worthwhile/legal: the window and its start quantum must be 128-lane
@@ -468,15 +511,10 @@ def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
     ]
     flat_lvls = [lvl for lvl in range(nlvl) if lvl not in sep_lvls]
 
-    # banded prefix: the query blocks fully inside the level-0 pixel range
-    # (encoder self-attention: queries ARE the level pixels in row-major
-    # order, so those blocks' taps are spatially local)
-    nb0 = 0
-    if pixel_queries and sep_lvls[:1] == [0]:
-        h0, w0 = spatial_shapes[0]
-        if _sep_band_rows(h0, d, -(-bq // w0)):
-            nb0 = min(h0 * w0 // bq, nblk)
-    groups = [(0, nb0), (nb0, nblk - nb0)] if nb0 else [(0, nblk)]
+    # data-driven banded groups: any contiguous run of blocks whose queries
+    # are all pixels of ONE level (encoder self-attention) gets per-block
+    # band windows into every target level
+    groups = _query_groups(spatial_shapes, q, qp, bq, pixel_queries)
 
     outs = [None] * len(groups)
 
@@ -495,26 +533,20 @@ def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
             _run_sep, v_y, qa, lvl=lvl, nlvl=nlvl, h=h, w=w, p=p, bq=bq,
             out_dtype=out_dtype,
         )
-        hbv = 0
-        if nb0:
-            h0, w0 = spatial_shapes[0]
-            hbv = _sep_band_rows(h, d, -(-(bq * h) // (h0 * w0)))
-        for gi, (off, cnt) in enumerate(groups):
-            if cnt == 0:
-                continue
-            if gi == 0 and nb0 and hbv:
-                # band the prefix blocks for EVERY separable level: the
-                # encoder's level-0 query blocks are spatially tight in
-                # normalized coords, so their taps into ANY level live in
-                # a narrow y-band of that level
-                py = loc[:, : nb0 * bq, :, lvl, :, 1] * h - 0.5
+        for gi, (off, cnt, j) in enumerate(groups):
+            hbv = (
+                _sep_band_rows(h, d, _span_rows(bq, spatial_shapes[j], h))
+                if j is not None else 0
+            )
+            if hbv:
+                py = loc[:, off * bq : (off + cnt) * bq, :, lvl, :, 1] * h - 0.5
                 band, esc = _band_and_escape(
-                    py, nb0, bq, h, hbv, quant=max(128 // d, 1)
+                    py, cnt, bq, h, hbv, quant=max(128 // d, 1)
                 )
                 acc(gi, jax.lax.cond(
                     esc,
-                    lambda: run(band=None, hb=h, blk_off=0, nblk=nb0),
-                    lambda: run(band=band, hb=hbv, blk_off=0, nblk=nb0),
+                    lambda: run(band=None, hb=h, blk_off=off, nblk=cnt),
+                    lambda: run(band=band, hb=hbv, blk_off=off, nblk=cnt),
                 ))
             else:
                 acc(gi, run(band=None, hb=h, blk_off=off, nblk=cnt))
@@ -529,27 +561,24 @@ def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
             nlvl=nlvl, p=p, bq=bq, out_dtype=out_dtype,
         )
         h1, w1 = shapes_f[0]
-        hb1 = 0
-        if nb0:
-            h0, w0 = spatial_shapes[0]
-            hb1 = _flat_band_rows(h1, -(-(bq * h1) // (h0 * w0)))
-        can_band = (
-            nb0 > 0 and hb1 > 0
-            and h1 * w1 > FLAT_LEVEL_MAX_PIXELS // 2
+        flat_bandable = (
+            h1 * w1 > FLAT_LEVEL_MAX_PIXELS // 2
             and w1 % 8 == 0  # sublane-aligned dynamic row starts
         )
-        for gi, (off, cnt) in enumerate(groups):
-            if cnt == 0:
-                continue
-            if gi == 0 and can_band:
-                py1 = loc[:, : nb0 * bq, :, flat_lvls[0], :, 1] * h1 - 0.5
+        for gi, (off, cnt, j) in enumerate(groups):
+            hb1 = (
+                _flat_band_rows(h1, _span_rows(bq, spatial_shapes[j], h1))
+                if j is not None and flat_bandable else 0
+            )
+            if hb1:
+                py1 = loc[:, off * bq : (off + cnt) * bq, :, flat_lvls[0], :, 1] * h1 - 0.5
                 band1, esc1 = _band_and_escape(
-                    py1, nb0, bq, h1, hb1, quant=1
+                    py1, cnt, bq, h1, hb1, quant=1
                 )
                 acc(gi, jax.lax.cond(
                     esc1,
-                    lambda: run(band=None, hb1=0, blk_off=0, nblk=nb0),
-                    lambda: run(band=band1, hb1=hb1, blk_off=0, nblk=nb0),
+                    lambda: run(band=None, hb1=0, blk_off=off, nblk=cnt),
+                    lambda: run(band=band1, hb1=hb1, blk_off=off, nblk=cnt),
                 ))
             else:
                 acc(gi, run(band=None, hb1=0, blk_off=off, nblk=cnt))

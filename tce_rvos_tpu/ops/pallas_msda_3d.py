@@ -75,27 +75,30 @@ def _sep_kernel_3d(qa_ref, v_ref, out_ref, *, h, w, d, m, p, bq, lvl, nlvl,
                 r = nlvl * p * 3 + lvl * p + row
             return qa_t[:, r : r + 1]
 
-        # spatial x-factor with attn folded in (downstream is linear), the
-        # P points stacked along sublanes: [P*BQ, W]
-        wx_all = jnp.concatenate(
-            [
-                jnp.maximum(
-                    0.0, 1.0 - jnp.abs(xs - (col("loc", 3 * pi) * w - 0.5))
-                )
-                * col("attn", pi)
-                for pi in range(p)
-            ],
-            axis=0,
-        )
-        # per-point fractional frame coordinate, stacked the same way
-        fim_all = jnp.concatenate(
-            [col("loc", 3 * pi + 2) * nfrm - 0.5 for pi in range(p)], axis=0
-        )  # [P*BQ, 1]
+        # spatial x-factor with attn folded in (downstream is linear),
+        # one [BQ, W] block per point (Mosaic cannot concat [BQ, 1]
+        # slivers along sublanes, so the frame weight multiplies each
+        # point's WIDE block before the concat)
+        wx_p = [
+            jnp.maximum(
+                0.0, 1.0 - jnp.abs(xs - (col("loc", 3 * pi) * w - 0.5))
+            )
+            * col("attn", pi)
+            for pi in range(p)
+        ]
+        fim_p = [col("loc", 3 * pi + 2) * nfrm - 0.5 for pi in range(p)]
         s1 = jnp.zeros((p * bq, h * d), jnp.float32)
         for fi in range(nfrm):
-            wf = jnp.maximum(0.0, 1.0 - jnp.abs(fim_all - fi))  # [P*BQ, 1]
+            wxf = jnp.concatenate(
+                [
+                    wx_p[pi]
+                    * jnp.maximum(0.0, 1.0 - jnp.abs(fim_p[pi] - fi))
+                    for pi in range(p)
+                ],
+                axis=0,
+            )  # [P*BQ, W]
             s1 = s1 + jnp.dot(
-                (wx_all * wf).astype(jnp.bfloat16),
+                wxf.astype(jnp.bfloat16),
                 v_ref[fi, mi].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )

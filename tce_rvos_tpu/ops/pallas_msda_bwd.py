@@ -408,7 +408,9 @@ def msda_backward_hm(
     from tce_rvos_tpu.ops.pallas_msda import (
         _band_and_escape,
         _flat_band_rows,
+        _query_groups,
         _sep_band_rows,
+        _span_rows,
     )
 
     n, m, s, d = value_hm.shape
@@ -446,21 +448,8 @@ def msda_backward_hm(
     ]
     flat_lvls = [lvl for lvl in range(nlvl) if lvl not in sep_lvls]
 
-    def block_rows(h_lvl: int) -> int:
-        if not (pixel_queries and sep_lvls[:1] == [0]):
-            return 0
-        h0, w0 = spatial_shapes[0]
-        r = -(-(bq * h_lvl) // (h0 * w0))
-        if (bq * h_lvl) % (h0 * w0):
-            r += 1  # blocks not row-aligned can straddle one extra row
-        return r
-
-    nb0 = 0
-    if pixel_queries and sep_lvls[:1] == [0]:
-        h0, w0 = spatial_shapes[0]
-        if _sep_band_rows(h0, d, block_rows(h0)):
-            nb0 = min(h0 * w0 // bq, nblk)
-    groups = [(0, nb0), (nb0, nblk - nb0)] if nb0 else [(0, nblk)]
+    # same data-driven banded groups as the forward (see _query_groups)
+    groups = _query_groups(spatial_shapes, q, qp, bq, pixel_queries)
 
     k = qa.shape[3]
 
@@ -499,8 +488,6 @@ def msda_backward_hm(
             .transpose(0, 1, 3, 2, 4)
             .reshape(n, m, w, h * d)
         )
-        hbv = _sep_band_rows(h, d, block_rows(h)) if nb0 else 0
-
         def run_sep(band, hb, blk_off, cnt):
             kq = functools.partial(
                 _bwd_q_kernel_sep, h=h, w=w, d=d, m=m, p=p, bq=bq, lvl=lvl,
@@ -545,18 +532,20 @@ def msda_backward_hm(
             return dq[0], dq[1], dv
 
         parts = []
-        for gi, (off, cnt) in enumerate(groups):
-            if cnt == 0:
-                continue
-            if gi == 0 and nb0 and hbv:
-                py = loc[:, : nb0 * bq, :, lvl, :, 1] * h - 0.5
+        for off, cnt, j in groups:
+            hbv = (
+                _sep_band_rows(h, d, _span_rows(bq, spatial_shapes[j], h))
+                if j is not None else 0
+            )
+            if hbv:
+                py = loc[:, off * bq : (off + cnt) * bq, :, lvl, :, 1] * h - 0.5
                 band, esc = _band_and_escape(
-                    py, nb0, bq, h, hbv, quant=max(128 // d, 1)
+                    py, cnt, bq, h, hbv, quant=max(128 // d, 1)
                 )
                 parts.append(jax.lax.cond(
                     esc,
-                    lambda: run_sep(None, h, 0, nb0),
-                    lambda: run_sep(band, hbv, 0, nb0),
+                    lambda: run_sep(None, h, off, cnt),
+                    lambda: run_sep(band, hbv, off, cnt),
                 ))
             else:
                 parts.append(run_sep(None, h, off, cnt))
@@ -579,11 +568,7 @@ def msda_backward_hm(
         v_flat = value_hm[:, :, starts[flat_lvls[0]] : starts[nlvl]]
         nfl = len(flat_lvls)
         h1, w1 = f_shapes[0]
-        hb1 = _flat_band_rows(h1, block_rows(h1)) if nb0 else 0
-        can_band = (
-            nb0 > 0 and hb1 > 0 and h1 * w1 > flat_max_pixels // 2
-            and w1 % 8 == 0
-        )
+        flat_bandable = h1 * w1 > flat_max_pixels // 2 and w1 % 8 == 0
 
         def run_flat(band, hb, blk_off, cnt):
             kq = functools.partial(
@@ -633,16 +618,18 @@ def msda_backward_hm(
             return dq[0], dq[1], dv
 
         parts = []
-        for gi, (off, cnt) in enumerate(groups):
-            if cnt == 0:
-                continue
-            if gi == 0 and can_band:
-                py1 = loc[:, : nb0 * bq, :, flat_lvls[0], :, 1] * h1 - 0.5
-                band1, esc1 = _band_and_escape(py1, nb0, bq, h1, hb1, quant=1)
+        for off, cnt, j in groups:
+            hb1 = (
+                _flat_band_rows(h1, _span_rows(bq, spatial_shapes[j], h1))
+                if j is not None and flat_bandable else 0
+            )
+            if hb1:
+                py1 = loc[:, off * bq : (off + cnt) * bq, :, flat_lvls[0], :, 1] * h1 - 0.5
+                band1, esc1 = _band_and_escape(py1, cnt, bq, h1, hb1, quant=1)
                 parts.append(jax.lax.cond(
                     esc1,
-                    lambda: run_flat(None, 0, 0, nb0),
-                    lambda: run_flat(band1, hb1, 0, nb0),
+                    lambda: run_flat(None, 0, off, cnt),
+                    lambda: run_flat(band1, hb1, off, cnt),
                 ))
             else:
                 parts.append(run_flat(None, 0, off, cnt))

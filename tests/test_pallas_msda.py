@@ -270,3 +270,72 @@ def test_pallas_3d_matches_oracle():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(ms_deform_attn_pallas_3d(value, shapes, loc, attn))
     np.testing.assert_allclose(got, expected, rtol=0.05, atol=5e-3)
+
+
+def test_banded_level1_groups_parity():
+    """Round-3 generalization: tail query blocks that are pure LEVEL-1
+    pixel blocks get banded value windows too (_query_groups src_level=1).
+    Shapes chosen so the group-1 windows actually fit (sep lvl0: 64 of 80
+    rows; flat lvl1: 33 of 40 rows) and offsets stay inside the margin —
+    the banded branches run, and fwd+bwd must stay oracle-exact."""
+    shapes = ((80, 32), (40, 16), (5, 8))
+    n, m, d, p = 2, 2, 8, 3
+    l = len(shapes)
+    s = sum(h * w for h, w in shapes)
+    rng = np.random.RandomState(11)
+    value = jnp.asarray(rng.randn(n, s, m, d).astype(np.float32))
+    ref = np.concatenate(
+        [
+            np.stack(
+                np.meshgrid(
+                    (np.arange(w) + 0.5) / w, (np.arange(h) + 0.5) / h,
+                    indexing="xy",
+                ),
+                axis=-1,
+            ).reshape(h * w, 2)
+            for h, w in shapes
+        ],
+        axis=0,
+    )
+    off = (rng.rand(n, s, m, l, p, 2) * 2 - 1) * 3.0
+    norm = np.asarray([[w, h] for h, w in shapes], np.float32)
+    loc = jnp.asarray(
+        (
+            ref[None, :, None, None, None, :]
+            + off / norm[None, None, None, :, None, :]
+        ).astype(np.float32)
+    )
+    attn = rng.rand(n, s, m, l, p).astype(np.float32) + 1e-3
+    attn = jnp.asarray(
+        attn / attn.reshape(n, s, m, l * p).sum(-1)[..., None, None]
+    )
+
+    from tce_rvos_tpu.ops.pallas_msda import _query_groups
+    groups = _query_groups(shapes, s, s + ((-s) % 320), 320, True)
+    assert any(j == 1 for _, _, j in groups), groups
+
+    expected = np.asarray(ms_deform_attn(value, shapes, loc, attn))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            ms_deform_attn_pallas(value, shapes, loc, attn, pixel_queries=True)
+        )
+    np.testing.assert_allclose(got, expected, rtol=0.05, atol=5e-3)
+
+    g = jnp.asarray(rng.randn(n, s, m * d).astype(np.float32))
+
+    def loss_p(v, lo, a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(
+                ms_deform_attn_pallas(v, shapes, lo, a, pixel_queries=True) * g
+            )
+
+    def loss_o(v, lo, a):
+        return jnp.sum(ms_deform_attn(v, shapes, lo, a) * g)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(value, loc, attn)
+    go = jax.grad(loss_o, argnums=(0, 1, 2))(value, loc, attn)
+    for name, a, b in zip(("d_value", "d_loc", "d_attn"), gp, go):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1.0)
+        assert np.abs(a - b).max() < 0.02 * scale, (name, np.abs(a - b).max())
