@@ -26,14 +26,16 @@ def main():
     from tce_rvos_tpu.parallel.train_step import create_train_state, make_train_step
 
     impl = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
     cfg = ModelConfig(with_box_refine=True, binary=True, f_token=8, qtrans=True,
-                      msda_impl=impl, use_checkpoint=True)
+                      msda_impl=impl, use_checkpoint=True, compute_dtype=dtype)
     tcfg = TrainConfig()
     model = build_model(cfg)
     inputs = example_inputs(cfg, b=1, t=T, hw=(H, W), text_len=8)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
     state, tx = create_train_state(variables, tcfg, steps_per_epoch=1000)
-    step = make_train_step(model.apply, tx, criterion_from_configs(cfg, tcfg))
+    step = make_train_step(model.apply, tx, criterion_from_configs(cfg, tcfg),
+                           compute_dtype=cfg.compute_dtype)
 
     rng = np.random.RandomState(int(time.time() * 1e6) % (2**31))
     batch = dict(inputs)

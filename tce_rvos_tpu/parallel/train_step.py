@@ -129,15 +129,32 @@ def make_train_step(
     model_apply: Callable,
     tx,
     crit_cfg: CriterionConfig,
+    compute_dtype: str | None = None,
 ) -> Callable:
     """Returns jittable step(state, batch, dropout_rng) -> (state, metrics).
-    ``batch``: dict with model inputs + 'targets' dict for the criterion."""
+    ``batch``: dict with model inputs + 'targets' dict for the criterion.
+
+    ``compute_dtype="bfloat16"`` enables MIXED-PRECISION training (TPU-only
+    design choice; the reference trains plain fp32 — main.py has no AMP):
+    master params and optimizer state stay f32, the forward/backward run
+    with bf16 params/activations (cast inside the loss so the cast's VJP
+    returns f32 grads), and the criterion consumes f32-upcast outputs.
+    bf16 has fp32's exponent range, so no loss scaling is needed."""
+    cast = None
+    if compute_dtype not in (None, "float32"):
+        from tce_rvos_tpu.utils.precision import cast_floating, resolve_dtype
+
+        cast = resolve_dtype(compute_dtype)
 
     def loss_fn(params, frozen, batch, rng):
         variables = {"params": params, **frozen}
+        video = batch["video"]
+        if cast is not None:
+            variables = cast_floating(variables, cast)
+            video = video.astype(cast)
         outputs = model_apply(
             variables,
-            video=batch["video"],
+            video=video,
             video_mask=batch["video_mask"],
             text_ids=batch["text_ids"],
             text_attn_mask=batch["text_attn_mask"],
@@ -146,6 +163,12 @@ def make_train_step(
             deterministic=False,
             rngs={"dropout": rng},
         )
+        if cast is not None:
+            outputs = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == cast else x,
+                outputs,
+            )
         losses = criterion(crit_cfg, outputs, batch["targets"])
         total = sum(losses.values())
         return total, losses

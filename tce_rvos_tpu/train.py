@@ -167,7 +167,11 @@ def main(argv=None):
     steps_per_epoch = max(len(loader), 1)
     state, tx = create_train_state(variables, train_cfg, steps_per_epoch)
     crit_cfg = criterion_from_configs(model_cfg, train_cfg)
-    step_fn = jax.jit(make_train_step(model.apply, tx, crit_cfg))
+    # --compute_dtype bfloat16 opts into mixed-precision training (f32
+    # master params, bf16 forward/backward — parallel/train_step.py)
+    step_fn = jax.jit(make_train_step(
+        model.apply, tx, crit_cfg, compute_dtype=model_cfg.compute_dtype,
+    ))
 
     ckpt_manager = None
     if args.ckpt_backend == "orbax":

@@ -139,3 +139,40 @@ def test_train_step_with_remat_policy():
         new_state.params["transformer"]["encoder_layers_0"]
     )[0]
     assert not np.allclose(np.asarray(enc0), np.asarray(enc1))
+
+
+def test_mixed_precision_train_step():
+    """compute_dtype="bfloat16" trains with bf16 forward/backward but f32
+    master params: one step must keep params f32, update them, and produce
+    a loss close to the f32 step's (bf16-scale tolerance)."""
+    from tce_rvos_tpu.models.build import build_model, example_inputs
+    from tce_rvos_tpu.models.criterion import criterion_from_configs
+    from tce_rvos_tpu.parallel.train_step import create_train_state, make_train_step
+
+    cfg = ModelConfig(**TINY)
+    tcfg = TrainConfig()
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=1, t=2, hw=(32, 32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+    state, tx = create_train_state(variables, tcfg)
+    crit = criterion_from_configs(cfg, tcfg)
+    step32 = jax.jit(make_train_step(model.apply, tx, crit))
+    step16 = jax.jit(make_train_step(
+        model.apply, tx, crit, compute_dtype="bfloat16"
+    ))
+
+    batch = _make_batch(seed=0)
+    rng = jax.random.PRNGKey(1)
+    s32, m32 = step32(state, batch, rng)
+    s16, m16 = step16(state, batch, rng)
+    assert np.isfinite(m16["loss"]) and m16["grad_norm"] > 0
+    # master params stay f32 and actually move
+    for leaf in jax.tree_util.tree_leaves(s16.params):
+        assert leaf.dtype == np.float32
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p1 = jax.tree_util.tree_leaves(s16.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # bf16 taps: losses agree at bf16 scale
+    assert abs(float(m16["loss"]) - float(m32["loss"])) < 0.05 * max(
+        abs(float(m32["loss"])), 1.0
+    )
