@@ -34,10 +34,11 @@ def run_eval(args, model_cfg, data_cfg, model, variables):
 
     if args.resume:
         from tce_rvos_tpu.models.text_encoder import require_real_tokenizer
-        from tce_rvos_tpu.utils.native_ckpt import load_checkpoint
+        from tce_rvos_tpu.utils.native_ckpt import load_any_checkpoint
 
         require_real_tokenizer("--resume checkpoint")
-        variables, _, _ = load_checkpoint(args.resume, variables)
+        # accepts a native msgpack dir OR a reference torch .pth / URL
+        variables, _, _ = load_any_checkpoint(args.resume, variables)
     if model_cfg.compute_dtype != "float32":
         from tce_rvos_tpu.utils.precision import cast_floating, resolve_dtype
 
@@ -106,7 +107,7 @@ def main(argv=None):
         create_train_state,
         make_train_step,
     )
-    from tce_rvos_tpu.utils.native_ckpt import load_checkpoint, save_checkpoint
+    from tce_rvos_tpu.utils.native_ckpt import load_any_checkpoint, save_checkpoint
 
     print("git:", os.popen("git rev-parse --short HEAD 2>/dev/null").read().strip())
     print(args)
@@ -189,7 +190,7 @@ def main(argv=None):
                 variables_t, state.opt_state
             )
         else:
-            variables_r, opt_state, meta = load_checkpoint(
+            variables_r, opt_state, meta = load_any_checkpoint(
                 args.resume, variables_t, state.opt_state
             )
         state = state.replace(

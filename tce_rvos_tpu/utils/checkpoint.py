@@ -58,7 +58,7 @@ def _conv3d_tsum(x):
     return _conv3d(x)
 
 
-def load_torch_file(path: str) -> Dict[str, np.ndarray]:
+def load_torch_file(path: str, with_meta: bool = False):
     import torch
 
     if path.startswith(("http://", "https://")):
@@ -69,11 +69,19 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
         )
     else:
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    # the reference stores the finished epoch alongside the weights
+    # (main.py:271-275)
+    meta = (
+        {"epoch": int(ckpt["epoch"])}
+        if isinstance(ckpt, dict) and "epoch" in ckpt
+        else {}
+    )
     if isinstance(ckpt, dict) and "model" in ckpt:
         ckpt = ckpt["model"]
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
-    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in ckpt.items()}
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in ckpt.items()}
+    return (sd, meta) if with_meta else sd
 
 
 # ---------------------------------------------------------------------------

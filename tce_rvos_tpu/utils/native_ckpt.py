@@ -69,6 +69,24 @@ def load_checkpoint(
     return variables, opt_state, meta
 
 
+def load_any_checkpoint(
+    path: str, variables_template: Dict, opt_state_template: Any = None
+) -> Tuple[Dict, Any, Dict]:
+    """Format-sniffing resume: accepts a native msgpack directory, OR a
+    reference-format torch ``.pth`` file / ``https://`` URL (the reference
+    resumes from torch checkpoints, incl. torch.hub URLs — main.py:180-196).
+    Torch checkpoints carry no optimizer state we can restore (the tree
+    layouts differ), so opt_state comes back None and training restarts
+    the schedule from the checkpoint's epoch."""
+    if os.path.isdir(path):
+        return load_checkpoint(path, variables_template, opt_state_template)
+    from tce_rvos_tpu.utils.checkpoint import convert_state_dict, load_torch_file
+
+    sd, meta = load_torch_file(path, with_meta=True)
+    variables, _, _ = convert_state_dict(sd, variables_template)
+    return variables, None, meta
+
+
 class OrbaxCheckpointManager:
     """Orbax-backed checkpointing for multi-host / sharded training.
 

@@ -122,13 +122,9 @@ def test_roberta_matches_hf_torch():
     )
 
 
-def test_convert_full_model_with_synthetic_checkpoint():
-    """Build a synthetic torch state_dict with exactly the keys/shapes the
-    mapping expects (inverse transforms), convert, and check strict load."""
-    cfg = ModelConfig(**TINY)
-    model = build_model(cfg)
-    inputs = example_inputs(cfg, b=1, t=2, hw=(32, 32))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+def _synthetic_torch_sd(variables):
+    """Synthetic torch state_dict with exactly the keys/shapes the mapping
+    expects (inverse transforms probed per-leaf)."""
     flat = traverse_util.flatten_dict(variables, sep="/")
 
     rng = np.random.RandomState(0)
@@ -156,10 +152,47 @@ def test_convert_full_model_with_synthetic_checkpoint():
                 sd[tkey] = rng.randn(3 * c).astype(np.float32)
             else:
                 raise AssertionError((path, tkey))
+    return sd
+
+
+def test_convert_full_model_with_synthetic_checkpoint():
+    """Convert a synthetic reference-format state_dict and check strict load."""
+    cfg = ModelConfig(**TINY)
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=1, t=2, hw=(32, 32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+    sd = _synthetic_torch_sd(variables)
     new_vars, missing, unexpected = convert_state_dict(sd, variables, verbose=False)
     assert missing == []
     assert unexpected == []
     # spot-check a transpose actually happened
+    key = "params/transformer/reference_points/kernel"
+    got = traverse_util.flatten_dict(new_vars, sep="/")[key]
+    np.testing.assert_allclose(
+        np.asarray(got), sd["transformer.reference_points.weight"].T
+    )
+
+
+def test_resume_from_torch_pth(tmp_path):
+    """--resume accepts a reference-format torch .pth (main.py:180-196):
+    load_any_checkpoint sniffs the format, converts the state dict, and
+    surfaces the stored epoch so training continues at epoch+1."""
+    from tce_rvos_tpu.utils.native_ckpt import load_any_checkpoint
+
+    cfg = ModelConfig(**TINY)
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=1, t=2, hw=(32, 32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+    sd = _synthetic_torch_sd(variables)
+    pth = tmp_path / "checkpoint0003.pth"
+    torch.save(
+        {"model": {k: torch.from_numpy(v) for k, v in sd.items()}, "epoch": 3},
+        pth,
+    )
+
+    new_vars, opt_state, meta = load_any_checkpoint(str(pth), variables)
+    assert opt_state is None
+    assert meta["epoch"] == 3
     key = "params/transformer/reference_points/kernel"
     got = traverse_util.flatten_dict(new_vars, sep="/")[key]
     np.testing.assert_allclose(
