@@ -112,6 +112,10 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--cyclic_lr_boundary", nargs=2, type=float,
                    default=[1e-5, 1e-4])
     p.add_argument("--pretrain_coco", action="store_true")
+    p.add_argument("--flat_opt", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="fused flat AdamW (parallel/flat_adamw.py); "
+                        "--no-flat_opt selects the per-leaf optax chain")
     p.add_argument("--output_dir", default="output")
     p.add_argument("--resume", default="")
     p.add_argument("--ckpt_backend", default="msgpack",

@@ -150,6 +150,11 @@ class TrainConfig:
     cyclic_lr: bool = False
     cyclic_lr_boundary: Tuple[float, float] = (1e-5, 1e-4)
 
+    # Fused flat AdamW (parallel/flat_adamw.py): same update math as the
+    # per-leaf optax chain (parity-tested), ~10 ms/step less kernel-launch
+    # overhead on TPU. Set False to use the optax reference chain.
+    flat_opt: bool = True
+
     seed: int = 42
 
 

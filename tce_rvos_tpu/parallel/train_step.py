@@ -116,7 +116,11 @@ class TrainState:
 def create_train_state(variables, cfg: TrainConfig, steps_per_epoch: int = 1):
     params = variables["params"]
     frozen = {k: v for k, v in variables.items() if k != "params"}
-    tx = make_optimizer(params, cfg, steps_per_epoch)
+    if cfg.flat_opt:
+        from tce_rvos_tpu.parallel.flat_adamw import make_flat_adamw
+        tx = make_flat_adamw(params, cfg, steps_per_epoch)
+    else:
+        tx = make_optimizer(params, cfg, steps_per_epoch)
     return TrainState(
         params=params,
         frozen=frozen,

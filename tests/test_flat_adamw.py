@@ -1,0 +1,142 @@
+"""Parity of the fused flat AdamW (parallel/flat_adamw.py) against the
+per-leaf optax reference chain (parallel/train_step.make_optimizer):
+identical parameter trajectories across MultiStep/Cyclic schedules, LR
+tiers, clipping (above and below the norm threshold), and the
+``--pretrain_enc`` frozen tier — plus checkpoint round-trip of the flat
+state through the msgpack backend.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tce_rvos_tpu.config import TrainConfig
+from tce_rvos_tpu.parallel.flat_adamw import make_flat_adamw
+from tce_rvos_tpu.parallel.train_step import make_optimizer
+
+
+def _params(rng):
+    """Tree hitting every LR tier: backbone, text_encoder, linear_proj
+    (inside an encoder layer so pretrain_enc keeps it live), base, and the
+    FTF memory bus (encoder-owned base tier)."""
+    def arr(*shape):
+        return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    return {
+        "backbone": {"conv": {"kernel": arr(3, 4), "bias": arr(4)}},
+        "text_encoder": {"proj": {"kernel": arr(4, 4)}},
+        "transformer": {
+            "encoder_layers_0": {
+                "sampling_offsets": {"kernel": arr(4, 8), "bias": arr(8)},
+                "ffn": {"kernel": arr(4, 4)},
+            },
+            "memory_bus": arr(2, 4),
+        },
+        "class_head": {"kernel": arr(4, 2), "bias": arr(2)},
+    }
+
+
+def _run(tx, params, grad_seq):
+    state = tx.init(params)
+    out = []
+    for g in grad_seq:
+        updates, state = tx.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+        out.append(params)
+    return out
+
+
+def _grad_seq(params, rng, n, scale=1.0):
+    leaves, treedef = jax.tree.flatten(params)
+    seq = []
+    for _ in range(n):
+        gs = [jnp.asarray(rng.standard_normal(l.shape), jnp.float32) * scale
+              for l in leaves]
+        seq.append(jax.tree.unflatten(treedef, gs))
+    return seq
+
+
+def _assert_traj_close(a, b):
+    for pa, pb in zip(a, b):
+        flat_a = jax.tree.leaves(pa)
+        flat_b = jax.tree.leaves(pb)
+        for la, lb in zip(flat_a, flat_b):
+            np.testing.assert_allclose(la, lb, rtol=2e-6, atol=2e-7)
+
+
+@pytest.mark.parametrize(
+    "cfg_kw, grad_scale",
+    [
+        # MultiStep schedule crossing an lr_drop boundary; grads small
+        # enough that clipping is INACTIVE
+        (dict(lr_drop=(1, 3)), 0.01),
+        # clipping ACTIVE every step (global norm >> clip_max_norm)
+        (dict(lr_drop=(1, 3)), 10.0),
+        # CyclicLR: every tier shares the triangular wave
+        (dict(cyclic_lr=True, cyclic_lr_boundary=(1e-5, 1e-4)), 0.01),
+        # pretrain_enc: everything outside the encoder frozen, but its
+        # grads still count toward the clip norm
+        (dict(pretrain_enc=True, lr_drop=(1, 3)), 10.0),
+    ],
+    ids=["multistep", "clipped", "cyclic", "pretrain_enc"],
+)
+def test_flat_matches_optax_chain(cfg_kw, grad_scale):
+    cfg = TrainConfig(**cfg_kw)
+    rng = np.random.default_rng(0)
+    params = _params(rng)
+    # steps_per_epoch=2 puts lr_drop boundaries (epochs 1,3 -> steps 2,6)
+    # and the cyclic half-period inside the 8-step window
+    steps_per_epoch = 2
+    grads = _grad_seq(params, rng, 8, scale=grad_scale)
+
+    ref = _run(make_optimizer(params, cfg, steps_per_epoch),
+               params, grads)
+    flat = _run(make_flat_adamw(params, cfg, steps_per_epoch),
+                params, grads)
+    _assert_traj_close(ref, flat)
+
+
+def test_frozen_tier_stays_exactly_fixed():
+    cfg = TrainConfig(pretrain_enc=True)
+    rng = np.random.default_rng(1)
+    params = _params(rng)
+    tx = make_flat_adamw(params, cfg, 2)
+    state = tx.init(params)
+    updates, state = tx.update(_grad_seq(params, rng, 1)[0], state, params)
+    flat = jax.tree.leaves({
+        k: v for k, v in updates.items()
+        if k in ("backbone", "text_encoder", "class_head")
+    })
+    for leaf in flat:
+        assert jnp.all(leaf == 0.0), "frozen tier must receive zero update"
+    # encoder-owned leaves (incl. memory_bus) do move
+    enc = jax.tree.leaves(updates["transformer"])
+    assert any(jnp.any(l != 0.0) for l in enc)
+
+
+def test_flat_state_checkpoint_roundtrip(tmp_path):
+    from tce_rvos_tpu.utils.native_ckpt import load_checkpoint, save_checkpoint
+
+    cfg = TrainConfig()
+    rng = np.random.default_rng(2)
+    params = _params(rng)
+    tx = make_flat_adamw(params, cfg, 2)
+    state = tx.init(params)
+    for g in _grad_seq(params, rng, 3):
+        _, state = tx.update(g, state, params)
+
+    save_checkpoint(str(tmp_path / "ck"), {"params": params},
+                    opt_state=state, epoch=1, step=3)
+    template = tx.init(params)
+    _, restored, meta = load_checkpoint(
+        str(tmp_path / "ck"), {"params": params}, template)
+    assert meta["step"] == 3
+    assert int(restored.count) == int(state.count)
+    np.testing.assert_array_equal(np.asarray(restored.mu),
+                                  np.asarray(state.mu))
+    np.testing.assert_array_equal(np.asarray(restored.nu),
+                                  np.asarray(state.nu))
