@@ -44,6 +44,12 @@ class FlatAdamWState(NamedTuple):
     count: jnp.ndarray  # [] int32
     mu: jnp.ndarray     # [P] f32
     nu: jnp.ndarray     # [P] f32
+    # global grad norm of the LAST update (pre-clip, over all grads incl.
+    # frozen — same value torch's clip_grad_norm_ returns, engine.py:77).
+    # Exposed so the train step's grad_norm metric reuses this single
+    # full-width reduction instead of re-running optax.global_norm's
+    # per-leaf (~300 small kernels) pass over the same buffers.
+    gnorm: jnp.ndarray  # [] f32
 
 
 def make_flat_adamw(params, cfg: TrainConfig, steps_per_epoch: int = 1
@@ -103,7 +109,8 @@ def make_flat_adamw(params, cfg: TrainConfig, steps_per_epoch: int = 1
 
     def init(params_):
         z = jnp.zeros((total,), jnp.float32)
-        return FlatAdamWState(jnp.zeros((), jnp.int32), z, z)
+        return FlatAdamWState(
+            jnp.zeros((), jnp.int32), z, z, jnp.zeros((), jnp.float32))
 
     def update(grads, state, params=None):
         if params is None:
@@ -123,6 +130,6 @@ def make_flat_adamw(params, cfg: TrainConfig, steps_per_epoch: int = 1
         adam = mhat / (jnp.sqrt(nhat) + _EPS)
         lr_t = common(state.count)  # pre-increment, optax scale_by_schedule
         upd = (-lr_t) * rel_v * (adam + wd_v * p)
-        return _unflatten(upd, grads), FlatAdamWState(c, mu, nu)
+        return _unflatten(upd, grads), FlatAdamWState(c, mu, nu, gnorm)
 
     return optax.GradientTransformation(init, update)

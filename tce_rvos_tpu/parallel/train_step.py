@@ -185,7 +185,13 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["loss"] = total
-        metrics["grad_norm"] = optax.global_norm(grads)
+        # the flat optimizer already reduced the global norm in one
+        # full-width pass; reuse it instead of optax.global_norm's
+        # per-leaf kernels over the same grads
+        gnorm = getattr(new_opt, "gnorm", None)
+        metrics["grad_norm"] = (
+            gnorm if gnorm is not None else optax.global_norm(grads)
+        )
         new_state = TrainState(
             params=new_params,
             frozen=state.frozen,

@@ -118,6 +118,21 @@ def test_frozen_tier_stays_exactly_fixed():
     assert any(jnp.any(l != 0.0) for l in enc)
 
 
+def test_gnorm_matches_optax_global_norm():
+    """The flat state's ``gnorm`` (reused by the train step's grad_norm
+    metric) is the pre-clip global norm over ALL grads — the same value
+    optax.global_norm reports and torch's clip_grad_norm_ returns."""
+    cfg = TrainConfig(pretrain_enc=True)  # frozen grads still count
+    rng = np.random.default_rng(3)
+    params = _params(rng)
+    tx = make_flat_adamw(params, cfg, 2)
+    state = tx.init(params)
+    g = _grad_seq(params, rng, 1, scale=10.0)[0]
+    _, state = tx.update(g, state, params)
+    np.testing.assert_allclose(
+        float(state.gnorm), float(optax.global_norm(g)), rtol=1e-6)
+
+
 def test_flat_state_checkpoint_roundtrip(tmp_path):
     from tce_rvos_tpu.utils.native_ckpt import load_checkpoint, save_checkpoint
 
