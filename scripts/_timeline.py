@@ -40,13 +40,14 @@ def load_tpu_events(tmpdir):
     ]
 
 
-def self_time_aggregate(events, reps):
+def self_time_aggregate(events, reps, keep_ids=False):
     """Returns (total_ms_per_rep, {key: (ms_per_rep, count_per_rep)}).
 
-    Keys are op names with trailing ``.N``/digit suffixes stripped. Self
-    time: each event's duration minus the duration of events nested inside
-    it on the same (pid, tid) lane; the total is top-level span time (what
-    the device actually spent, no double counting).
+    Keys are op names with trailing ``.N``/digit suffixes stripped
+    (``keep_ids=True`` keeps the full op identity, e.g. for HLO lookups).
+    Self time: each event's duration minus the duration of events nested
+    inside it on the same (pid, tid) lane; the total is top-level span
+    time (what the device actually spent, no double counting).
     """
     durs = collections.defaultdict(float)
     cnt = collections.Counter()
@@ -60,24 +61,24 @@ def self_time_aggregate(events, reps):
         for e in lane:
             ts, dur = e["ts"], e["dur"]
             while stack and ts >= stack[-1][1] - 1e-9:
-                _attr(stack.pop(), durs, cnt)
+                _attr(stack.pop(), durs, cnt, keep_ids)
             if stack:
                 stack[-1][2] += dur
             else:
                 total += dur
             stack.append([e, ts + dur, 0.0])
         while stack:
-            _attr(stack.pop(), durs, cnt)
+            _attr(stack.pop(), durs, cnt, keep_ids)
     agg = {k: (v / reps / 1e3, cnt[k] // reps) for k, v in durs.items()}
     return total / reps / 1e3, agg
 
 
-def _attr(entry, durs, cnt):
+def _attr(entry, durs, cnt, keep_ids=False):
     e, _, child_time = entry
     name = e["name"]
     if name.startswith("jit_"):
         return
-    key = re.sub(r"[.\d]+$", "", name) or name
+    key = name if keep_ids else (re.sub(r"[.\d]+$", "", name) or name)
     durs[key] += max(e["dur"] - child_time, 0.0)
     cnt[key] += 1
 

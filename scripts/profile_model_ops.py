@@ -3,17 +3,11 @@ timeline (profile_model.py aggregates by prefix; this one keeps op
 identities and looks each top op up in the compiled HLO so the 'XLA
 fusions' / 'copy' buckets stop being anonymous)."""
 
-import collections
-import glob
-import gzip
-import json
 import re
 import sys
 import tempfile
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 T, H, W = 5, 384, 640
 
@@ -49,36 +43,21 @@ def main():
         if m:
             hlo_defs[m.group(1)] = m.group(2)[:240]
 
+    from _timeline import load_tpu_events, self_time_aggregate
+
     jax.block_until_ready(fwd(variables, **inputs))
     tmp = tempfile.mkdtemp()
     reps = 3
     with jax.profiler.trace(tmp):
         for _ in range(reps):
             jax.block_until_ready(fwd(variables, **inputs))
-    p = glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True)[0]
-    with gzip.open(p) as fh:
-        tr = json.load(fh)
-    ev = tr["traceEvents"]
-    pids = {
-        e["pid"]: e["args"].get("name", "")
-        for e in ev
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    durs = collections.defaultdict(float)
-    cnt = collections.Counter()
-    for e in ev:
-        if e.get("ph") == "X" and "dur" in e and "TPU" in pids.get(e["pid"], ""):
-            name = e["name"]
-            # branch bodies are nested inside their cond.* span — keep the
-            # cond (outer) only so sums don't double-book
-            if name.startswith("jit_") or name.startswith("branch_"):
-                continue
-            durs[name] += e["dur"]
-            cnt[name] += 1
-    print(f"=== top individual ops ({dtype}) ===")
-    for k, v in sorted(durs.items(), key=lambda kv: -kv[1])[:60]:
+    # XLA-Ops-lane self-time (scopes/cond spans not double-booked),
+    # keep_ids so each op maps back to its HLO definition
+    total, agg = self_time_aggregate(load_tpu_events(tmp), reps, keep_ids=True)
+    print(f"=== top individual ops ({dtype}; device {total:.2f} ms/fwd) ===")
+    for k, (ms, c) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:60]:
         defn = hlo_defs.get(k, "")
-        print(f"{v/reps/1e3:8.3f} ms x{cnt[k]//reps:3d}  {k[:46]:46s} {defn[:150]}")
+        print(f"{ms:8.3f} ms x{c:3d}  {k[:46]:46s} {defn[:150]}")
 
 
 if __name__ == "__main__":

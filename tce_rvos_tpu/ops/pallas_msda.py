@@ -157,9 +157,8 @@ def _flat_band_rows(h: int, block_rows: int) -> int:
     return 0
 
 # the analytic backward (ops/pallas_msda_bwd.py) keeps its own per-head
-# kernels and block sizes — independent of the forward's layout
-BWD_SEP_BQ = 512
-BWD_FLAT_BQ = 512
+# kernels and ONE shared Q-block partition across its sep/flat kernels
+BWD_BQ = 512
 
 _LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
@@ -483,6 +482,36 @@ def _band_and_escape(
     return lo, escape
 
 
+def _banded_parts(groups, loc, lvl, h, bq, quant, full_hb, rows_fn, run):
+    """Shared banded-group dispatch — the ONE place the banding contract
+    lives, used by the forward and the analytic backward so their band
+    decisions can never desynchronize. For each query group, derive the
+    y-band window into target level ``lvl`` (height ``h``) from the actual
+    sampling locations and lax.cond between the banded kernel and the
+    full-height fallback (the escape path keeps oracle exactness for
+    arbitrary offsets).
+
+    ``rows_fn(j)``: band height (rows) for a group whose queries are the
+    pixels of level ``j`` — return 0 to disable banding for that group.
+    ``run(band, hb, blk_off, nblk)``: launch the kernel; ``full_hb`` is the
+    hb value that means full height to it (h for sep kernels, 0 for flat).
+    Returns one partial result per group, in group order."""
+    parts = []
+    for off, cnt, j in groups:
+        hb = rows_fn(j) if j is not None else 0
+        if hb:
+            py = loc[:, off * bq : (off + cnt) * bq, :, lvl, :, 1] * h - 0.5
+            band, esc = _band_and_escape(py, cnt, bq, h, hb, quant=quant)
+            parts.append(jax.lax.cond(
+                esc,
+                functools.partial(run, None, full_hb, off, cnt),
+                functools.partial(run, band, hb, off, cnt),
+            ))
+        else:
+            parts.append(run(None, full_hb, off, cnt))
+    return parts
+
+
 def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
                      pixel_queries=False):
     """Shared forward given head-major value [N, M, S, D] (bf16)."""
@@ -531,25 +560,20 @@ def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
         )
         run = functools.partial(
             _run_sep, v_y, qa, lvl=lvl, nlvl=nlvl, h=h, w=w, p=p, bq=bq,
-            out_dtype=out_dtype,
+            # partials in f32: the cross-level sum must not round each
+            # level's contribution to bf16 first (CUDA ref accumulates
+            # f32 across all levels too); ONE cast at the end
+            out_dtype=jnp.float32,
         )
-        for gi, (off, cnt, j) in enumerate(groups):
-            hbv = (
-                _sep_band_rows(h, d, _span_rows(bq, spatial_shapes[j], h))
-                if j is not None else 0
-            )
-            if hbv:
-                py = loc[:, off * bq : (off + cnt) * bq, :, lvl, :, 1] * h - 0.5
-                band, esc = _band_and_escape(
-                    py, cnt, bq, h, hbv, quant=max(128 // d, 1)
-                )
-                acc(gi, jax.lax.cond(
-                    esc,
-                    lambda: run(band=None, hb=h, blk_off=off, nblk=cnt),
-                    lambda: run(band=band, hb=hbv, blk_off=off, nblk=cnt),
-                ))
-            else:
-                acc(gi, run(band=None, hb=h, blk_off=off, nblk=cnt))
+        parts = _banded_parts(
+            groups, loc, lvl, h, bq, quant=max(128 // d, 1), full_hb=h,
+            rows_fn=lambda j: _sep_band_rows(
+                h, d, _span_rows(bq, spatial_shapes[j], h)),
+            run=lambda band, hb, off, cnt: run(
+                band=band, hb=hb, blk_off=off, nblk=cnt),
+        )
+        for gi, part in enumerate(parts):
+            acc(gi, part)
 
     if flat_lvls:
         # flat levels are always a contiguous tail (levels shrink 2x each)
@@ -558,30 +582,23 @@ def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
         shapes_f = tuple(spatial_shapes[lvl] for lvl in flat_lvls)
         run = functools.partial(
             _run_flat, v_f, qa, shapes=shapes_f, lvl_idx=tuple(flat_lvls),
-            nlvl=nlvl, p=p, bq=bq, out_dtype=out_dtype,
+            nlvl=nlvl, p=p, bq=bq, out_dtype=jnp.float32,  # see sep note
         )
         h1, w1 = shapes_f[0]
         flat_bandable = (
             h1 * w1 > FLAT_LEVEL_MAX_PIXELS // 2
             and w1 % 8 == 0  # sublane-aligned dynamic row starts
         )
-        for gi, (off, cnt, j) in enumerate(groups):
-            hb1 = (
+        parts = _banded_parts(
+            groups, loc, flat_lvls[0], h1, bq, quant=1, full_hb=0,
+            rows_fn=lambda j: (
                 _flat_band_rows(h1, _span_rows(bq, spatial_shapes[j], h1))
-                if j is not None and flat_bandable else 0
-            )
-            if hb1:
-                py1 = loc[:, off * bq : (off + cnt) * bq, :, flat_lvls[0], :, 1] * h1 - 0.5
-                band1, esc1 = _band_and_escape(
-                    py1, cnt, bq, h1, hb1, quant=1
-                )
-                acc(gi, jax.lax.cond(
-                    esc1,
-                    lambda: run(band=None, hb1=0, blk_off=off, nblk=cnt),
-                    lambda: run(band=band1, hb1=hb1, blk_off=off, nblk=cnt),
-                ))
-            else:
-                acc(gi, run(band=None, hb1=0, blk_off=off, nblk=cnt))
+                if flat_bandable else 0),
+            run=lambda band, hb, off, cnt: run(
+                band=band, hb1=hb, blk_off=off, nblk=cnt),
+        )
+        for gi, part in enumerate(parts):
+            acc(gi, part)
 
     parts = [o for o in outs if o is not None]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
@@ -613,10 +630,8 @@ def _forward(value, spatial_shapes, loc, attn, pixel_queries=False):
                             pixel_queries)
 
 
-def _bwd_block_sizes(q: int):
-    if q <= 128:
-        return 128, 128
-    return BWD_SEP_BQ, BWD_FLAT_BQ  # equal: one shared Q-block partition
+def _bwd_block_size(q: int) -> int:
+    return 128 if q <= 128 else BWD_BQ
 
 
 def _fwd(value, spatial_shapes, loc, attn, pixel_queries=False):
@@ -630,10 +645,10 @@ def _bwd(spatial_shapes, pixel_queries, res, g):
     from tce_rvos_tpu.ops.pallas_msda_bwd import msda_backward_hm
 
     value, loc, attn = res
-    sep_bq, flat_bq = _bwd_block_sizes(loc.shape[1])
     dv_hm, dloc, dattn = msda_backward_hm(
         value.transpose(0, 2, 1, 3), spatial_shapes, loc, attn, g,
-        sep_bq, flat_bq, BWD_FLAT_MAX_PIXELS, pixel_queries=pixel_queries,
+        _bwd_block_size(loc.shape[1]), BWD_FLAT_MAX_PIXELS,
+        pixel_queries=pixel_queries,
     )
     return dv_hm.transpose(0, 2, 1, 3).astype(value.dtype), dloc, dattn
 
@@ -674,10 +689,10 @@ def _bwd_nm(spatial_shapes, pixel_queries, res, g):
     from tce_rvos_tpu.ops.pallas_msda_bwd import msda_backward_hm
 
     value_nm, loc, attn = res
-    sep_bq, flat_bq = _bwd_block_sizes(loc.shape[1])
     dv_nm, dloc, dattn = msda_backward_hm(
         value_nm, spatial_shapes, loc, attn, g,
-        sep_bq, flat_bq, BWD_FLAT_MAX_PIXELS, pixel_queries=pixel_queries,
+        _bwd_block_size(loc.shape[1]), BWD_FLAT_MAX_PIXELS,
+        pixel_queries=pixel_queries,
     )
     return dv_nm.astype(value_nm.dtype), dloc, dattn
 

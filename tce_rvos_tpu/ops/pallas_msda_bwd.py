@@ -399,14 +399,13 @@ def msda_backward_hm(
     loc: jnp.ndarray,          # [N, Q, M, L, P, 2]
     attn: jnp.ndarray,         # [N, Q, M, L, P]
     g: jnp.ndarray,            # [N, Q, M*D] upstream cotangent
-    sep_bq: int,
-    flat_bq: int,
+    bq: int,                   # shared Q-block size for sep + flat kernels
     flat_max_pixels: int,
     pixel_queries: bool = False,
 ):
     """Returns (d_value_hm [N, M, S, D] f32, d_loc, d_attn)."""
     from tce_rvos_tpu.ops.pallas_msda import (
-        _band_and_escape,
+        _banded_parts,
         _flat_band_rows,
         _query_groups,
         _sep_band_rows,
@@ -420,7 +419,6 @@ def msda_backward_hm(
     starts = level_splits(spatial_shapes)
     value_hm = value_hm.astype(jnp.bfloat16)
 
-    bq = max(sep_bq, flat_bq)
     pad = (-q) % bq
     qp = q + pad
     nblk = qp // bq
@@ -531,24 +529,12 @@ def msda_backward_hm(
             )(qa, loc_qmin, g_nm)
             return dq[0], dq[1], dv
 
-        parts = []
-        for off, cnt, j in groups:
-            hbv = (
-                _sep_band_rows(h, d, _span_rows(bq, spatial_shapes[j], h))
-                if j is not None else 0
-            )
-            if hbv:
-                py = loc[:, off * bq : (off + cnt) * bq, :, lvl, :, 1] * h - 0.5
-                band, esc = _band_and_escape(
-                    py, cnt, bq, h, hbv, quant=max(128 // d, 1)
-                )
-                parts.append(jax.lax.cond(
-                    esc,
-                    lambda: run_sep(None, h, off, cnt),
-                    lambda: run_sep(band, hbv, off, cnt),
-                ))
-            else:
-                parts.append(run_sep(None, h, off, cnt))
+        parts = _banded_parts(
+            groups, loc, lvl, h, bq, quant=max(128 // d, 1), full_hb=h,
+            rows_fn=lambda j: _sep_band_rows(
+                h, d, _span_rows(bq, spatial_shapes[j], h)),
+            run=run_sep,
+        )
         dloc_lvl[lvl] = jnp.concatenate([x[0] for x in parts], axis=2)
         dattn_lvl[lvl] = jnp.concatenate([x[1] for x in parts], axis=2)
         dv_t = parts[0][2]
@@ -617,22 +603,13 @@ def msda_backward_hm(
             )(loc_qmin, attn_qmin, g_nm)
             return dq[0], dq[1], dv
 
-        parts = []
-        for off, cnt, j in groups:
-            hb1 = (
+        parts = _banded_parts(
+            groups, loc, flat_lvls[0], h1, bq, quant=1, full_hb=0,
+            rows_fn=lambda j: (
                 _flat_band_rows(h1, _span_rows(bq, spatial_shapes[j], h1))
-                if j is not None and flat_bandable else 0
-            )
-            if hb1:
-                py1 = loc[:, off * bq : (off + cnt) * bq, :, flat_lvls[0], :, 1] * h1 - 0.5
-                band1, esc1 = _band_and_escape(py1, cnt, bq, h1, hb1, quant=1)
-                parts.append(jax.lax.cond(
-                    esc1,
-                    lambda: run_flat(None, 0, off, cnt),
-                    lambda: run_flat(band1, hb1, off, cnt),
-                ))
-            else:
-                parts.append(run_flat(None, 0, off, cnt))
+                if flat_bandable else 0),
+            run=run_flat,
+        )
         dloc_f = jnp.concatenate([x[0] for x in parts], axis=2)
         dattn_f = jnp.concatenate([x[1] for x in parts], axis=2)
         dv_flat = parts[0][2]

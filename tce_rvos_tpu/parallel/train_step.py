@@ -129,6 +129,30 @@ def create_train_state(variables, cfg: TrainConfig, steps_per_epoch: int = 1):
     ), tx
 
 
+def seed_schedule_step(state: TrainState, step: int) -> TrainState:
+    """Fast-forward the LR-schedule counters after a resume that carried no
+    optimizer state (reference-format torch .pth checkpoints). The reference
+    restores its lr_scheduler on resume (main.py:195-211), so MultiStep
+    ``lr_drop`` boundaries are measured from epoch 0 — not from the resume
+    point. In a FRESHLY-initialized optax/flat optimizer state every integer
+    scalar leaf is a step counter at 0 (ScaleByAdamState.count,
+    ScaleByScheduleState.count, FlatAdamWState.count); set them all, plus
+    ``TrainState.step``, to ``step``. Moment estimates stay zero — torch
+    Adam state is not portable to this layout (native_ckpt.py:78-80)."""
+    s = jnp.asarray(step, jnp.int32)
+
+    def leaf(x):
+        if (
+            hasattr(x, "dtype")
+            and getattr(x, "ndim", None) == 0
+            and jnp.issubdtype(x.dtype, jnp.integer)
+        ):
+            return s.astype(x.dtype)
+        return x
+
+    return state.replace(opt_state=jax.tree.map(leaf, state.opt_state), step=s)
+
+
 def make_train_step(
     model_apply: Callable,
     tx,

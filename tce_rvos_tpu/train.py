@@ -20,6 +20,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 
 def run_eval(args, model_cfg, data_cfg, model, variables):
@@ -106,6 +107,7 @@ def main(argv=None):
     from tce_rvos_tpu.parallel.train_step import (
         create_train_state,
         make_train_step,
+        seed_schedule_step,
     )
     from tce_rvos_tpu.utils.native_ckpt import load_any_checkpoint, save_checkpoint
 
@@ -199,6 +201,17 @@ def main(argv=None):
             opt_state=opt_state if opt_state is not None else state.opt_state,
         )
         start_epoch = meta.get("epoch", -1) + 1
+        if opt_state is None:
+            # reference-format torch .pth: no optimizer state to restore,
+            # but the reference DOES restore its lr_scheduler on resume
+            # (main.py:195-211) — fast-forward the schedule counters so
+            # MultiStep lr_drop boundaries count from epoch 0, not from
+            # the resume point
+            state = seed_schedule_step(state, start_epoch * steps_per_epoch)
+        else:
+            state = state.replace(
+                step=jnp.asarray(meta.get("step", 0), jnp.int32)
+            )
 
     # per-epoch A2D eval during training (reference main.py:283-285)
     val_loader_fn = None

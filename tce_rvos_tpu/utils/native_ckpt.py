@@ -60,7 +60,23 @@ def load_checkpoint(
     opt_path = os.path.join(path, "opt_state.msgpack")
     if opt_state_template is not None and os.path.exists(opt_path):
         with open(opt_path, "rb") as fh:
-            opt_state = serialization.from_bytes(opt_state_template, fh.read())
+            try:
+                opt_state = serialization.from_bytes(
+                    opt_state_template, fh.read())
+            except ValueError as e:
+                # the most common structure mismatch: the checkpoint was
+                # written under the other optimizer layout (fused flat
+                # AdamW vs the per-leaf optax chain — --flat_opt /
+                # --no-flat_opt). Same update semantics, different state
+                # pytree; tell the operator which switch to flip instead
+                # of surfacing a raw flax deserialization error.
+                raise ValueError(
+                    f"optimizer state in {opt_path!r} does not match the "
+                    "configured optimizer's layout. If this checkpoint was "
+                    "saved before the fused flat AdamW became the default, "
+                    "resume with --no-flat_opt (or with --flat_opt if it "
+                    "was saved flat). Original error: " + str(e)
+                ) from e
     meta = {}
     meta_path = os.path.join(path, "meta.json")
     if os.path.exists(meta_path):

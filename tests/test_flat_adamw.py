@@ -133,6 +133,61 @@ def test_gnorm_matches_optax_global_norm():
         float(state.gnorm), float(optax.global_norm(g)), rtol=1e-6)
 
 
+@pytest.mark.parametrize("flat", [True, False], ids=["flat", "chain"])
+def test_seed_schedule_step_matches_real_steps(flat):
+    """Resume-from-torch-.pth semantics: seed_schedule_step(N) must put the
+    optimizer in the same state as actually taking N steps with zero grads
+    (count advanced, moments still zero) — so the MultiStep lr_drop
+    boundaries count from epoch 0, as the reference's restored lr_scheduler
+    does (main.py:195-211). N is chosen PAST a drop boundary so a wrong
+    (unseeded) count would apply a 10x-too-high LR."""
+    from tce_rvos_tpu.parallel.train_step import (
+        TrainState, seed_schedule_step)
+
+    cfg = TrainConfig(lr_drop=(1, 3), flat_opt=flat)
+    rng = np.random.default_rng(4)
+    params = _params(rng)
+    steps_per_epoch = 2
+    n = 4  # past the first drop (epoch 1 -> step 2)
+    tx = (make_flat_adamw(params, cfg, steps_per_epoch) if flat
+          else make_optimizer(params, cfg, steps_per_epoch))
+
+    stepped = tx.init(params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    for _ in range(n):
+        _, stepped = tx.update(zeros, stepped, params)
+
+    seeded = seed_schedule_step(
+        TrainState(params=params, frozen={}, opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32)),
+        n,
+    )
+    assert int(seeded.step) == n
+
+    g = _grad_seq(params, rng, 1)[0]
+    upd_a, _ = tx.update(g, stepped, params)
+    upd_b, _ = tx.update(g, seeded.opt_state, params)
+    _assert_traj_close([upd_a], [upd_b])
+
+
+def test_opt_layout_mismatch_names_the_flag(tmp_path):
+    """Resuming a checkpoint written under the other optimizer layout
+    (optax chain vs fused flat AdamW) must fail with a message naming
+    --flat_opt/--no-flat_opt, not a raw flax deserialization error."""
+    from tce_rvos_tpu.utils.native_ckpt import load_checkpoint, save_checkpoint
+
+    cfg = TrainConfig()
+    rng = np.random.default_rng(5)
+    params = _params(rng)
+    chain_state = make_optimizer(params, cfg, 2).init(params)
+    save_checkpoint(str(tmp_path / "ck"), {"params": params},
+                    opt_state=chain_state, epoch=0, step=1)
+    flat_template = make_flat_adamw(params, cfg, 2).init(params)
+    with pytest.raises(ValueError, match="no-flat_opt"):
+        load_checkpoint(str(tmp_path / "ck"), {"params": params},
+                        flat_template)
+
+
 def test_flat_state_checkpoint_roundtrip(tmp_path):
     from tce_rvos_tpu.utils.native_ckpt import load_checkpoint, save_checkpoint
 
