@@ -75,6 +75,40 @@ def run_eval(args, model_cfg, data_cfg, model, variables):
     )
 
 
+def restore_train_state(state, resume_path, ckpt_manager, steps_per_epoch):
+    """Resume semantics (reference main.py:180-211): restore model
+    variables (+ optimizer state when the checkpoint carries one) and
+    return ``(state, start_epoch)``. Checkpoints WITHOUT restorable
+    optimizer state — reference-format torch .pth files/URLs, or native
+    saves made with opt_state=None — get their LR-schedule counters
+    fast-forwarded to ``start_epoch * steps_per_epoch``: the reference
+    restores its lr_scheduler on resume, so MultiStep ``lr_drop``
+    boundaries count from epoch 0, never from the resume point."""
+    from tce_rvos_tpu.parallel.train_step import seed_schedule_step
+    from tce_rvos_tpu.utils.native_ckpt import load_any_checkpoint
+
+    variables_t = {"params": state.params, **state.frozen}
+    if ckpt_manager is not None:
+        variables_r, opt_state, meta = ckpt_manager.restore(
+            variables_t, state.opt_state
+        )
+    else:
+        variables_r, opt_state, meta = load_any_checkpoint(
+            resume_path, variables_t, state.opt_state
+        )
+    state = state.replace(
+        params=variables_r["params"],
+        frozen={k: v for k, v in variables_r.items() if k != "params"},
+        opt_state=opt_state if opt_state is not None else state.opt_state,
+    )
+    start_epoch = meta.get("epoch", -1) + 1
+    if opt_state is None:
+        state = seed_schedule_step(state, start_epoch * steps_per_epoch)
+    else:
+        state = state.replace(step=jnp.asarray(meta.get("step", 0), jnp.int32))
+    return state, start_epoch
+
+
 def main(argv=None):
     from tce_rvos_tpu.cli import (
         data_config_from_args,
@@ -107,9 +141,8 @@ def main(argv=None):
     from tce_rvos_tpu.parallel.train_step import (
         create_train_state,
         make_train_step,
-        seed_schedule_step,
     )
-    from tce_rvos_tpu.utils.native_ckpt import load_any_checkpoint, save_checkpoint
+    from tce_rvos_tpu.utils.native_ckpt import save_checkpoint
 
     print("git:", os.popen("git rev-parse --short HEAD 2>/dev/null").read().strip())
     print(args)
@@ -186,32 +219,9 @@ def main(argv=None):
 
     start_epoch = args.start_epoch
     if args.resume:
-        variables_t = {"params": state.params, **state.frozen}
-        if ckpt_manager is not None:
-            variables_r, opt_state, meta = ckpt_manager.restore(
-                variables_t, state.opt_state
-            )
-        else:
-            variables_r, opt_state, meta = load_any_checkpoint(
-                args.resume, variables_t, state.opt_state
-            )
-        state = state.replace(
-            params=variables_r["params"],
-            frozen={k: v for k, v in variables_r.items() if k != "params"},
-            opt_state=opt_state if opt_state is not None else state.opt_state,
+        state, start_epoch = restore_train_state(
+            state, args.resume, ckpt_manager, steps_per_epoch
         )
-        start_epoch = meta.get("epoch", -1) + 1
-        if opt_state is None:
-            # reference-format torch .pth: no optimizer state to restore,
-            # but the reference DOES restore its lr_scheduler on resume
-            # (main.py:195-211) — fast-forward the schedule counters so
-            # MultiStep lr_drop boundaries count from epoch 0, not from
-            # the resume point
-            state = seed_schedule_step(state, start_epoch * steps_per_epoch)
-        else:
-            state = state.replace(
-                step=jnp.asarray(meta.get("step", 0), jnp.int32)
-            )
 
     # per-epoch A2D eval during training (reference main.py:283-285)
     val_loader_fn = None

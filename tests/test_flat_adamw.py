@@ -188,6 +188,48 @@ def test_opt_layout_mismatch_names_the_flag(tmp_path):
                         flat_template)
 
 
+def test_restore_train_state_seeds_schedule_without_opt_state(tmp_path):
+    """train.py resume wiring: a checkpoint that carries NO optimizer
+    state (reference torch .pth, or a native save made without one) must
+    come back with the LR-schedule counters fast-forwarded to
+    start_epoch * steps_per_epoch — and a checkpoint WITH optimizer state
+    must restore it verbatim (no seeding)."""
+    from tce_rvos_tpu.parallel.train_step import TrainState
+    from tce_rvos_tpu.train import restore_train_state
+    from tce_rvos_tpu.utils.native_ckpt import save_checkpoint
+
+    cfg = TrainConfig(lr_drop=(1, 3))
+    rng = np.random.default_rng(6)
+    params = _params(rng)
+    steps_per_epoch = 5
+    tx = make_flat_adamw(params, cfg, steps_per_epoch)
+
+    def fresh():
+        return TrainState(params=params, frozen={}, opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    # no opt_state in the checkpoint -> schedule seeded from the epoch
+    save_checkpoint(str(tmp_path / "bare"), {"params": params}, epoch=2)
+    state, start_epoch = restore_train_state(
+        fresh(), str(tmp_path / "bare"), None, steps_per_epoch)
+    assert start_epoch == 3
+    assert int(state.opt_state.count) == 3 * steps_per_epoch
+    assert int(state.step) == 3 * steps_per_epoch
+
+    # opt_state present -> restored verbatim, step from meta
+    stepped = tx.init(params)
+    g = _grad_seq(params, rng, 1)[0]
+    _, stepped = tx.update(g, stepped, params)
+    save_checkpoint(str(tmp_path / "full"), {"params": params},
+                    opt_state=stepped, epoch=0, step=1)
+    state2, start2 = restore_train_state(
+        fresh(), str(tmp_path / "full"), None, steps_per_epoch)
+    assert start2 == 1 and int(state2.opt_state.count) == 1
+    assert int(state2.step) == 1
+    np.testing.assert_array_equal(np.asarray(state2.opt_state.mu),
+                                  np.asarray(stepped.mu))
+
+
 def test_flat_state_checkpoint_roundtrip(tmp_path):
     from tce_rvos_tpu.utils.native_ckpt import load_checkpoint, save_checkpoint
 
