@@ -129,6 +129,16 @@ def create_train_state(variables, cfg: TrainConfig, steps_per_epoch: int = 1):
     ), tx
 
 
+def base_lr_schedule(cfg: TrainConfig, steps_per_epoch: int = 1):
+    """The base param-group's LR as a function of the global step — what the
+    reference logs as ``lr`` every iteration (engine.py's metric logger reads
+    param_groups[0]); used for the train step's ``lr`` metric."""
+    if cfg.cyclic_lr:
+        lo, hi = cfg.cyclic_lr_boundary
+        return cyclic_schedule(lo, hi, steps_per_epoch // 2)
+    return multistep_schedule(cfg.lr, cfg, steps_per_epoch)
+
+
 def seed_schedule_step(state: TrainState, step: int) -> TrainState:
     """Fast-forward the LR-schedule counters after a resume that carried no
     optimizer state (reference-format torch .pth checkpoints). The reference
@@ -158,6 +168,7 @@ def make_train_step(
     tx,
     crit_cfg: CriterionConfig,
     compute_dtype: str | None = None,
+    lr_fn: Callable | None = None,
 ) -> Callable:
     """Returns jittable step(state, batch, dropout_rng) -> (state, metrics).
     ``batch``: dict with model inputs + 'targets' dict for the criterion.
@@ -216,6 +227,10 @@ def make_train_step(
         metrics["grad_norm"] = (
             gnorm if gnorm is not None else optax.global_norm(grads)
         )
+        if lr_fn is not None:
+            # the base group's live LR (what the reference's iteration log
+            # shows); schedules index by the pre-increment step count
+            metrics["lr"] = lr_fn(state.step)
         new_state = TrainState(
             params=new_params,
             frozen=state.frozen,

@@ -205,8 +205,11 @@ def main(argv=None):
     crit_cfg = criterion_from_configs(model_cfg, train_cfg)
     # --compute_dtype bfloat16 opts into mixed-precision training (f32
     # master params, bf16 forward/backward — parallel/train_step.py)
+    from tce_rvos_tpu.parallel.train_step import base_lr_schedule
+
     step_fn = jax.jit(make_train_step(
         model.apply, tx, crit_cfg, compute_dtype=model_cfg.compute_dtype,
+        lr_fn=base_lr_schedule(train_cfg, steps_per_epoch),
     ))
 
     ckpt_manager = None
