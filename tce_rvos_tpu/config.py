@@ -155,6 +155,13 @@ class TrainConfig:
     # overhead on TPU. Set False to use the optax reference chain.
     flat_opt: bool = True
 
+    # mirror of ModelConfig.freeze_text_encoder for the optimizer: the
+    # reference builds its param groups from requires_grad params only
+    # (main.py:91-111), so a frozen text encoder receives NO update —
+    # in particular no decoupled weight decay (grads are already zero via
+    # stop_gradient in the model)
+    freeze_text_encoder: bool = False
+
     seed: int = 42
 
 

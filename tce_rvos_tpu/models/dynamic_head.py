@@ -68,18 +68,13 @@ def dynamic_mask_with_coords(
     in_ch = c + 2 if rel_coord else c
     weight_nums, bias_nums = dynamic_head_param_counts(c, channels, num_layers, rel_coord)
 
+    rel = None
     if rel_coord:
         scale = jnp.stack([sizes[:, 1], sizes[:, 0]], axis=-1).astype(jnp.float32)
         ref_abs = reference_points * scale[:, None, None, :]  # [b,t,q,2] in px
         locations = compute_locations(h, w, stride=mask_feat_stride)  # [h,w,2]
         rel = ref_abs[:, :, :, None, None, :] - locations[None, None, None]
-        # [b, t, q, h, w, 2]
-        feats = jnp.broadcast_to(
-            mask_features[:, :, None], (b, t, q, h, w, c)
-        )
-        feats = jnp.concatenate([feats, rel.astype(mask_features.dtype)], axis=-1)
-    else:
-        feats = jnp.broadcast_to(mask_features[:, :, None], (b, t, q, h, w, c))
+        rel = rel.astype(mask_features.dtype)  # [b, t, q, h, w, 2]
 
     # split the controller output into per-layer weights/biases
     # (reference parse_dynamic_params tce_rvos.py:536-559)
@@ -87,11 +82,26 @@ def dynamic_mask_with_coords(
     pieces = jnp.split(params, splits, axis=-1)
     ws, bs = pieces[:num_layers], pieces[num_layers:]
 
-    x = feats
-    cin = in_ch
-    for l in range(num_layers):
+    # layer 0 as SPLIT einsums: the feature part of the layer-0 input is the
+    # same for every query, so contract the shared [b,t,h,w,C] map directly
+    # against each query's weights instead of materializing the q-fold
+    # [b,t,q,h,w,C+2] broadcast+concat (~q x the mask-head working set; at
+    # flagship size a ~0.7 GB buffer per prediction level). Identical logits:
+    # einsum(concat(f, rel), w) == einsum(f, w[:C]) + einsum(rel, w[C:]).
+    # layer 0 always emits `channels` (dynamic_head_param_counts; the
+    # reference's controller has >= 2 layers in every config)
+    assert num_layers >= 2, "dynamic mask head needs >= 2 layers"
+    # torch conv weight layout [cout, cin, 1, 1] flattened row-major; the
+    # cin axis orders the concat inputs as [C features, 2 rel coords]
+    w0 = ws[0].reshape(b, t, q, channels, in_ch)
+    x = jnp.einsum("bthwc,btqoc->btqhwo", mask_features, w0[..., :c])
+    if rel_coord:
+        x = x + jnp.einsum("btqhwr,btqor->btqhwo", rel, w0[..., c:])
+    x = nn.relu(x + bs[0].reshape(b, t, q, channels)[:, :, :, None, None, :])
+
+    cin = channels
+    for l in range(1, num_layers):
         cout = 1 if l == num_layers - 1 else channels
-        # torch conv weight layout [cout, cin, 1, 1] flattened row-major
         wl = ws[l].reshape(b, t, q, cout, cin)
         bl = bs[l].reshape(b, t, q, cout)
         x = jnp.einsum("btqhwi,btqoi->btqhwo", x, wl) + bl[:, :, :, None, None, :]

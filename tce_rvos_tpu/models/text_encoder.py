@@ -17,6 +17,7 @@ compatible).
 
 from __future__ import annotations
 
+import zlib
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -180,8 +181,11 @@ def tokenize(
         ids, msk = [], []
         for cap in captions:
             words = cap.lower().split()
+            # zlib.crc32, NOT hash(): builtin str hashing is salted per
+            # process (PYTHONHASHSEED), which would break cross-process
+            # determinism of cached/golden outputs
             wid = [BOS_TOKEN_ID] + [
-                3 + (hash(w) % 50000) for w in words
+                3 + (zlib.crc32(w.encode("utf-8")) % 50000) for w in words
             ] + [EOS_TOKEN_ID]
             ids.append(wid)
             msk.append([1] * len(wid))

@@ -223,7 +223,6 @@ class FrameTokenLayer(nn.Module):
         spatial_shapes,
         padding_mask,      # [N, S]
         valid_ratios,      # [N, L, 2]
-        num_frames: int,
         deterministic: bool = True,
     ):
         n, n_tok, c = token.shape
@@ -330,7 +329,6 @@ class EncoderLayer(nn.Module):
         padding_mask,
         memory_bus,
         memory_pos,
-        num_frames: int,
         deterministic: bool = True,
     ):
         if self.f_token < 0:
@@ -346,7 +344,7 @@ class EncoderLayer(nn.Module):
                 msda_impl=self.msda_impl, name="ftoken_layers",
             )(
                 src, pos, memory_bus, memory_pos, spatial_shapes, padding_mask,
-                valid_ratios, num_frames, deterministic,
+                valid_ratios, deterministic,
             )
 
         src2, _, _ = MSDeformAttnLayer(
@@ -387,7 +385,7 @@ class DecoderLayer(nn.Module):
         padding_mask,
         deterministic: bool = True,
     ):
-        drop = lambda x, i: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         qk = with_pos(tgt, query_pos)
         attn = MultiheadAttention(
@@ -402,13 +400,13 @@ class DecoderLayer(nn.Module):
             ).transpose(1, 0, 2)
         else:
             tgt2 = attn(qk, qk, tgt, deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm2")(tgt + drop(tgt2, 2))
+        tgt = nn.LayerNorm(name="norm2")(tgt + drop(tgt2))
 
         tgt2, loc, attn_w = MSDeformAttnLayer(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             impl=self.msda_impl, name="cross_attn",
         )(with_pos(tgt, query_pos), reference_points, src, spatial_shapes, padding_mask)
-        tgt = nn.LayerNorm(name="norm1")(tgt + drop(tgt2, 1))
+        tgt = nn.LayerNorm(name="norm1")(tgt + drop(tgt2))
 
         tgt = FFN(
             self.d_ffn, self.d_model, self.dropout, self.activation, name="ffn"
@@ -516,10 +514,10 @@ class DeformableTransformer(nn.Module):
         output = src_flat
         # activation remat per layer: at 25k tokens the encoder's saved
         # intermediates dominate training HBM (the flagship train step OOMs
-        # a 16G chip without it); statics = spatial_shapes/num_frames/flag
+        # a 16G chip without it); statics = spatial_shapes / deterministic
         save_msda = jax.checkpoint_policies.save_only_these_names("msda_out")
         enc_cls = (
-            nn.remat(EncoderLayer, static_argnums=(4, 9, 10), policy=save_msda)
+            nn.remat(EncoderLayer, static_argnums=(4, 9), policy=save_msda)
             if self.use_checkpoint else EncoderLayer
         )
         dec_cls = (
@@ -534,7 +532,7 @@ class DeformableTransformer(nn.Module):
                 name=f"encoder_layers_{i}",
             )(
                 output, pos_flat, enc_ref, spatial_shapes, valid_ratios,
-                mask_flat, memory_bus, memory_pos, t, deterministic,
+                mask_flat, memory_bus, memory_pos, deterministic,
             )
         memory = output
 

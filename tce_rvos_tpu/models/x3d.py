@@ -131,7 +131,12 @@ def x3d_spec(name: str) -> dict:
     return dict(
         **cfg,
         strides=[4, 8, 16, 32],
-        channels=[24, 48, 96, 192],  # reference configs num_channels
+        # actual stage output widths: round_width of the base stage dims
+        # [12, 24, 48, 96] by the variant's width_factor (x3d.py stage
+        # construction below) — [24, 48, 96, 192] for wf=2.0 variants,
+        # [16, 48, 96, 144]-style for x3d_xs (wf=1.5); a hardcoded wf=2.0
+        # list would misreport x3d_xs
+        channels=[round_width(d, cfg["width_factor"]) for d in (12, 24, 48, 96)],
     )
 
 

@@ -46,7 +46,10 @@ def param_group(path: str, cfg: TrainConfig) -> str:
     if cfg.pretrain_enc and not _is_encoder_path(path):
         return "frozen"
     if "text_encoder" in path:
-        return "text_encoder"
+        # frozen text encoder: the reference's optimizer only sees
+        # requires_grad params (main.py:91-111) — no AdamW update AND no
+        # decoupled weight decay may touch the pretrained RoBERTa weights
+        return "frozen" if cfg.freeze_text_encoder else "text_encoder"
     if path.startswith("backbone/") or "/backbone/" in path:
         return "backbone"
     if any(n in path for n in ("reference_points", "sampling_offsets")):
@@ -96,7 +99,7 @@ def make_optimizer(params, cfg: TrainConfig, steps_per_epoch: int = 1):
         return optax.adamw(sched, weight_decay=cfg.weight_decay)
 
     tiers = {k: tier(v) for k, v in lrs.items()}
-    if cfg.pretrain_enc:
+    if cfg.pretrain_enc or cfg.freeze_text_encoder:
         tiers["frozen"] = optax.set_to_zero()
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.clip_max_norm),

@@ -81,8 +81,11 @@ def _assert_traj_close(a, b):
         # pretrain_enc: everything outside the encoder frozen, but its
         # grads still count toward the clip norm
         (dict(pretrain_enc=True, lr_drop=(1, 3)), 10.0),
+        # frozen text encoder: excluded from the optimizer like the
+        # reference's requires_grad filter (main.py:91-111)
+        (dict(freeze_text_encoder=True, lr_drop=(1, 3)), 10.0),
     ],
-    ids=["multistep", "clipped", "cyclic", "pretrain_enc"],
+    ids=["multistep", "clipped", "cyclic", "pretrain_enc", "freeze_text"],
 )
 def test_flat_matches_optax_chain(cfg_kw, grad_scale):
     cfg = TrainConfig(**cfg_kw)
@@ -116,6 +119,27 @@ def test_frozen_tier_stays_exactly_fixed():
     # encoder-owned leaves (incl. memory_bus) do move
     enc = jax.tree.leaves(updates["transformer"])
     assert any(jnp.any(l != 0.0) for l in enc)
+
+
+@pytest.mark.parametrize("flat", [True, False], ids=["flat", "chain"])
+def test_frozen_text_encoder_gets_no_weight_decay(flat):
+    """--freeze_text_encoder: the model emits exactly-zero grads for the
+    text encoder (stop_gradient), and the optimizer must then leave its
+    weights bit-identical — in particular decoupled weight decay must NOT
+    multiply the pretrained RoBERTa weights by (1 - lr*wd) each step (the
+    torch reference never registers requires_grad=False params)."""
+    cfg = TrainConfig(freeze_text_encoder=True)
+    rng = np.random.default_rng(7)
+    params = _params(rng)
+    tx = (make_flat_adamw(params, cfg, 2) if flat
+          else make_optimizer(params, cfg, 2))
+    state = tx.init(params)
+    g = _grad_seq(params, rng, 1)[0]
+    g["text_encoder"] = jax.tree.map(jnp.zeros_like, g["text_encoder"])
+    updates, _ = tx.update(g, state, params)
+    for leaf in jax.tree.leaves(updates["text_encoder"]):
+        assert jnp.all(leaf == 0.0), "frozen text encoder must not decay"
+    assert any(jnp.any(l != 0.0) for l in jax.tree.leaves(updates["backbone"]))
 
 
 def test_gnorm_matches_optax_global_norm():
