@@ -140,6 +140,7 @@ class PrefetchLoader:
         collate_fn: Callable,
         num_workers: int = 4,
         prefetch: int = 4,
+        drop_last: bool = True,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -147,18 +148,39 @@ class PrefetchLoader:
         self.collate_fn = collate_fn
         self.num_workers = max(num_workers, 1)
         self.prefetch = prefetch
+        # torch parity (reference main.py:128,148): train batch sampler
+        # drops the ragged tail, eval loaders keep it (drop_last=False) so
+        # every val sample is scored
+        self.drop_last = drop_last
 
     def __len__(self):
-        return len(self.sampler) // self.batch_size
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
         indices = list(self.sampler)
+        end = (
+            len(indices) - self.batch_size + 1 if self.drop_last
+            else len(indices)
+        )
         batches = [
             indices[i : i + self.batch_size]
-            for i in range(0, len(indices) - self.batch_size + 1, self.batch_size)
+            for i in range(0, end, self.batch_size)
         ]
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+
+        def q_put(q, item) -> bool:
+            # bounded put that keeps checking stop: a consumer that
+            # abandons the iterator mid-epoch (max_steps, eval probes)
+            # must not leave workers parked forever in a blocking put,
+            # pinning full video batches in memory
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker(batch_list: List[List[int]], q: "queue.Queue"):
             for batch_idx in batch_list:
@@ -166,11 +188,12 @@ class PrefetchLoader:
                     return
                 try:
                     samples = [self.dataset[i] for i in batch_idx]
-                    q.put(("ok", self.collate_fn(samples)))
+                    if not q_put(q, ("ok", self.collate_fn(samples))):
+                        return
                 except Exception as e:  # surface loader errors to the consumer
-                    q.put(("err", e))
+                    q_put(q, ("err", e))
                     return
-            q.put(("done", None))
+            q_put(q, ("done", None))
 
         # round-robin the batches over worker threads, each with its own
         # queue, and interleave in order to preserve determinism

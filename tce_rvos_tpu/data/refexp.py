@@ -165,6 +165,10 @@ class RefExpDataset:
         box = [x, y, x + bw, y + bh]
 
         total = self.num_frames + 2 * self.f_extra
+        # the warp+shuffle clip synthesis runs in EVERY split — the
+        # reference's refexp2seq.py:62-67 applies its augmenter in
+        # __getitem__ with no image_set gate, so val clips are randomly
+        # warped there too (a quirk replicated for protocol parity)
         frames, masks = [img], [mask]
         for _ in range(total - 1):
             fi, mi = self.augmenter(img, mask)

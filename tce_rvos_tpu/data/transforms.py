@@ -231,16 +231,9 @@ def make_train_transform(max_size: int = 640, rng: Optional[random.Random] = Non
 
 
 def make_val_transform(size: int = 360, max_size: int = 640):
-    class _Fixed(ClipTransform):
-        def __call__(self, frames, target):
-            h, w = frames[0].shape[:2]
-            oh, ow = get_size_with_aspect_ratio((h, w), size, max_size)
-            frames = [_resize_frame(f, (oh, ow)) for f in frames]
-            if "masks" in target:
-                target["masks"] = np.stack(
-                    [_resize_mask(m, (oh, ow)) for m in target["masks"]]
-                )
-            target["size"] = np.array([oh, ow], np.int64)
-            return frames, target
-
-    return Compose([_Fixed(), Normalize()])
+    """Reference val pipeline: T.RandomResize([360], max_size=640) +
+    normalize. A single size makes RandomResize deterministic, and —
+    unlike a frames-only resize — it rescales the BOXES with the frames,
+    so Normalize's abs->cxcywh conversion sees coordinates at the resized
+    resolution."""
+    return Compose([RandomResize([size], max_size=max_size), Normalize()])

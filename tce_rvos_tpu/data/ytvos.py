@@ -49,7 +49,14 @@ def sample_clip_indices(
 ) -> List[int]:
     """Clip frame sampling (ytvos.py:125-165): anchor + local(±1..3) +
     global random fill; or consecutive (optionally fps-stepped) window in
-    keep_fps mode; optional 50% reversal with vid_aug."""
+    keep_fps mode; optional 50% reversal with vid_aug.
+
+    Reference quirks replicated deliberately (ytvos.py:134-137): in
+    keep_fps mode the window length ignores f_extra (total != num_frames
+    when f_extra > 0 — the combination is broken in the reference too),
+    and with vid_aug's step > 1 the range yields num_frames extra indices
+    offset by +1 (consumers read the first ``total`` sorted entries,
+    exactly as the reference's read loop does)."""
     total = num_frames + 2 * f_extra
     sample = [frame_id]
     if vid_aug:
@@ -248,8 +255,14 @@ def build_ytvos(image_set: str, data_cfg, model_cfg, transforms=None):
     paths = {
         "train": (os.path.join(root, "train"),
                   os.path.join(root, "meta_expressions", "train", "meta_expressions.json")),
+        # the reference pairs valid/ images with a nonexistent
+        # meta_expressions/val/ file (ytvos.py:307, marked "not used
+        # actually" — inference reads meta_expressions/<split>/ itself,
+        # inference_ytvos.py:73); we point at the real on-disk layout
+        # ("valid", as the stock download and tools/convert_davis_to_ytvos
+        # produce) so the builder works if actually used
         "val": (os.path.join(root, "valid"),
-                os.path.join(root, "meta_expressions", "val", "meta_expressions.json")),
+                os.path.join(root, "meta_expressions", "valid", "meta_expressions.json")),
     }
     img_folder, ann_file = paths[image_set]
     tf = transforms or (
@@ -273,8 +286,14 @@ def build_davis(image_set: str, data_cfg, model_cfg, transforms=None):
     paths = {
         "train": (os.path.join(root, "train"),
                   os.path.join(root, "meta_expressions", "train", "meta_expressions.json")),
+        # the reference pairs valid/ images with a nonexistent
+        # meta_expressions/val/ file (ytvos.py:307, marked "not used
+        # actually" — inference reads meta_expressions/<split>/ itself,
+        # inference_ytvos.py:73); we point at the real on-disk layout
+        # ("valid", as the stock download and tools/convert_davis_to_ytvos
+        # produce) so the builder works if actually used
         "val": (os.path.join(root, "valid"),
-                os.path.join(root, "meta_expressions", "val", "meta_expressions.json")),
+                os.path.join(root, "meta_expressions", "valid", "meta_expressions.json")),
     }
     img_folder, ann_file = paths[image_set]
     tf = transforms or (

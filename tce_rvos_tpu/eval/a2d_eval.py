@@ -61,18 +61,18 @@ def _ap_at_iou(
     """Single-category COCO-style AP (101-point interpolation); each image
     has exactly one GT instance (the A2D setting)."""
     preds = sorted(preds, key=lambda p: -p["score"])
+    if not preds:
+        return 0.0
     n_gt = len(gt_by_image)
     matched = set()
     tp = np.zeros(len(preds))
     fp = np.zeros(len(preds))
-    iou_cache: Dict = {}
     for i, p in enumerate(preds):
         gid = p["image_id"]
         gt = gt_by_image.get(gid)
         if gt is None:
             fp[i] = 1
             continue
-        key = (gid, id(p))
         iou = rle_util.iou(p["rle"], gt)
         if iou >= iou_thr and gid not in matched:
             tp[i] = 1
@@ -88,9 +88,9 @@ def _ap_at_iou(
         precision[i] = max(precision[i], precision[i + 1])
     rec_points = np.linspace(0, 1, 101)
     idx = np.searchsorted(recall, rec_points, side="left")
-    prec_at = np.where(idx < len(precision), precision[np.minimum(idx, max(len(precision) - 1, 0))], 0.0)
-    if len(precision) == 0:
-        return 0.0
+    prec_at = np.where(
+        idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0
+    )
     return float(prec_at.mean())
 
 

@@ -390,7 +390,8 @@ def run_ytvos(
     engines = _as_engines(engine)
     video_list, data = ytvos_video_list(ytvos_path, split)
     if videos is not None:
-        video_list = [v for v in video_list if v in set(videos)]
+        allowed = set(videos)
+        video_list = [v for v in video_list if v in allowed]
     img_root = os.path.join(ytvos_path, split, "JPEGImages")
     save_root = os.path.join(output_dir, split)
     t0 = time.time()
@@ -489,7 +490,12 @@ def run_davis(
             for i in range(merged.shape[0]):
                 img = Image.fromarray(merged[i])
                 img.putpalette(palette)
-                img.save(os.path.join(save_dir, f"{i:05d}.png"))
+                # the reference writes sequential '{:05d}'.format(i)
+                # (inference_davis.py:311) — identical on the standard
+                # 00000-based DAVIS layout; using the real frame name also
+                # survives converted/subsampled frame lists, which the
+                # davis_eval reader looks up by GT mask id
+                img.save(os.path.join(save_dir, f"{frames_names[i]}.png"))
 
     _fanout(engines, video_list, one_video)
     print(f"Total inference time: {time.time() - t0:.4f} s")

@@ -52,7 +52,7 @@ def run_eval(args, model_cfg, data_cfg, model, variables):
     sampler = ShardedSampler(len(dataset_val), shuffle=False)
     loader = PrefetchLoader(
         dataset_val, sampler, args.batch_size, collate_batch,
-        num_workers=args.num_workers,
+        num_workers=args.num_workers, drop_last=False,
     )
 
     @jax.jit
@@ -236,7 +236,7 @@ def main(argv=None):
             return iter(
                 PrefetchLoader(
                     dataset_val, val_sampler, train_cfg.batch_size, collate_batch,
-                    num_workers=args.num_workers,
+                    num_workers=args.num_workers, drop_last=False,
                 )
             )
 

@@ -155,6 +155,79 @@ def test_prefetch_loader_delivers_all_batches():
     assert sorted(x for b in batches for x in b) == data
 
 
+def test_val_transform_rescales_boxes_with_frames():
+    """make_val_transform must resize boxes along with the frames (the
+    reference's T.RandomResize([360], max_size=640)); otherwise Normalize
+    divides original-resolution coords by the resized dims."""
+    from tce_rvos_tpu.data.transforms import make_val_transform
+
+    h, w = 720, 1280
+    frames = [np.zeros((h, w, 3), np.float32)]
+    box = np.array([[320.0, 180.0, 960.0, 540.0]], np.float32)  # xyxy abs
+    target = {"boxes": box.copy(),
+              "masks": np.zeros((1, h, w), np.float32)}
+    out_frames, out = make_val_transform()(frames, target)
+    assert out_frames[0].shape[:2] == (360, 640)
+    cx, cy, bw, bh = out["boxes"][0]
+    # the box occupied the central 50% of the image in both axes
+    assert np.allclose([cx, cy, bw, bh], [0.5, 0.5, 0.5, 0.5], atol=1e-3)
+
+
+def test_prefetch_loader_drop_last_semantics():
+    """torch parity (reference main.py:128,148): train drops the ragged
+    tail, eval keeps it so every val sample is scored."""
+    from tce_rvos_tpu.data.loader import PrefetchLoader, ShardedSampler
+
+    data = list(range(10))
+
+    class DS:
+        def __len__(self):
+            return len(data)
+
+        def __getitem__(self, i):
+            return data[i]
+
+    sampler = ShardedSampler(10, shuffle=False, num_replicas=1, rank=0)
+    train = PrefetchLoader(DS(), sampler, 4, lambda xs: xs, num_workers=2)
+    assert len(train) == 2
+    assert sorted(x for b in train for x in b) == list(range(8))
+
+    val = PrefetchLoader(DS(), sampler, 4, lambda xs: xs, num_workers=2,
+                         drop_last=False)
+    assert len(val) == 3
+    batches = list(val)
+    assert [len(b) for b in batches] == [4, 4, 2]
+    assert sorted(x for b in batches for x in b) == data
+
+
+def test_prefetch_loader_early_abandon_stops_workers():
+    """A consumer that breaks out mid-epoch (max_steps probes) must not
+    leave worker threads parked forever in a blocking queue put."""
+    import threading
+    import time
+
+    from tce_rvos_tpu.data.loader import PrefetchLoader, ShardedSampler
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return i
+
+    sampler = ShardedSampler(64, shuffle=False, num_replicas=1, rank=0)
+    loader = PrefetchLoader(DS(), sampler, 1, lambda xs: xs,
+                            num_workers=2, prefetch=2)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it), next(it)
+    it.close()  # abandon: generator finally sets stop
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "loader workers leaked"
+
+
 def test_davis_eval_metrics_roundtrip():
     from tce_rvos_tpu.eval.davis_eval import (
         db_eval_boundary,
