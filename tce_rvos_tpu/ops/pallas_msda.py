@@ -275,11 +275,13 @@ def _flat_kernel_ah(
     banded: bool,
 ):
     """All small levels in ONE kernel, all heads per cell: build each
-    level's 2D interpolation rows W2d[q, y*W+x] from iota arithmetic,
-    concat along lanes, one [BQ, sum HW] @ [sum HW, D] matmul per head
-    with the P points pre-summed (linearity). When ``banded`` the FIRST
-    (largest) flat level's rows are windowed to hb1 rows via a dynamic
-    sublane slice.
+    level's 2D interpolation rows W2d[q, y*W+x] from iota arithmetic and
+    contract each level with its own [BQ, HW] @ [HW, D] matmul, accumulated
+    in f32 (P points pre-summed — linearity). Per-level matmuls beat the
+    former concat-into-one-matmul: the level widths (600/240/60 lanes) are
+    not 128-multiples, so the lane concat was all vector rotations —
+    measured ~2x the whole kernel. When ``banded`` the FIRST (largest) flat
+    level's rows are windowed to hb1 rows via a dynamic sublane slice.
 
     refs: (band_ref?, qa_ref, v_ref, out_ref)
       v_ref [1, M, sum HW, D] (flat row-major pixels, levels stacked)
@@ -296,8 +298,7 @@ def _flat_kernel_ah(
         def col(row):
             return qa_t[:, row : row + 1]
 
-        segs = []
-        v_segs = []
+        acc = None
         row_off = 0
         for si, ((h, w), lvl) in enumerate(zip(shapes, lvl_idx)):
             if banded and si == 0:
@@ -328,14 +329,13 @@ def _flat_kernel_ah(
                 * col(nlvl * p * 2 + lvl * p + pi)
                 for pi in range(p)
             )
-            segs.append(seg)
-            v_segs.append(v_seg.astype(jnp.bfloat16))
+            part = jnp.dot(
+                seg.astype(jnp.bfloat16), v_seg.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
             row_off += h * w
-        w2d = jnp.concatenate(segs, axis=1).astype(jnp.bfloat16)
-        v_all = v_segs[0] if len(v_segs) == 1 else jnp.concatenate(v_segs, 0)
-        out_ref[0, :, mi * d : (mi + 1) * d] = jnp.dot(
-            w2d, v_all, preferred_element_type=jnp.float32
-        ).astype(out_ref.dtype)
+        out_ref[0, :, mi * d : (mi + 1) * d] = acc.astype(out_ref.dtype)
 
 
 def _run_sep(
