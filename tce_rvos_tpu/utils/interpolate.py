@@ -39,15 +39,33 @@ def _nearest_index(out_size: int, in_size: int) -> jnp.ndarray:
 
 
 def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
-    """torch F.interpolate(mode='nearest') on [..., H, W, C]."""
+    """torch F.interpolate(mode='nearest') on [..., H, W, C].
+
+    Integer-ratio fast paths (bit-identical index sets, no gathers — XLA
+    lowers gathers along non-minor axes into transposed layouts that ripple
+    copies through the FPN/VL blocks):
+      * integer upsample: floor(dst*in/out) repeats each source pixel
+        ``factor`` times -> broadcast+reshape;
+      * integer downsample: indices are exactly ``0, f, 2f, ...`` -> a
+        strided slice."""
     h_out, w_out = size
     h_in, w_in = x.shape[-3], x.shape[-2]
     if (h_in, w_in) == (h_out, w_out):
         return x
-    iy = _nearest_index(h_out, h_in)
-    ix = _nearest_index(w_out, w_in)
-    x = jnp.take(x, iy, axis=-3)
-    x = jnp.take(x, ix, axis=-2)
+
+    def axis_resize(x, out_size, in_size, axis):
+        if out_size % in_size == 0:
+            # floor(k*in/out) = floor(k/f): consecutive f-fold repeats
+            return jnp.repeat(x, out_size // in_size, axis=axis)
+        if in_size % out_size == 0:
+            # floor(k*in/out) = k*f: a strided slice
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(0, in_size, in_size // out_size)
+            return x[tuple(sl)]
+        return jnp.take(x, _nearest_index(out_size, in_size), axis=axis)
+
+    x = axis_resize(x, h_out, h_in, x.ndim - 3)
+    x = axis_resize(x, w_out, w_in, x.ndim - 2)
     return x
 
 
@@ -63,27 +81,57 @@ def _linear_weights(out_size: int, in_size: int, align_corners: bool):
     return i0, i1, w1
 
 
+def _linear_matrix(out_size: int, in_size: int, align_corners: bool):
+    """Dense [out, in] interpolation matrix (2 nonzeros per row) equivalent
+    to the gather+lerp formulation — static, built host-side once per
+    (shape, mode) and closed over as a constant."""
+    import numpy as np
+
+    if align_corners and out_size > 1:
+        src = np.arange(out_size, dtype=np.float64) * (
+            (in_size - 1) / (out_size - 1)
+        )
+    else:
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * (
+            in_size / out_size
+        ) - 0.5
+    src = np.clip(src, 0.0, float(in_size - 1))
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    i1 = np.clip(i0 + 1, 0, in_size - 1)
+    w1 = (src - i0).astype(np.float32)
+    mat = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(mat, (rows, i0), 1.0 - w1)
+    np.add.at(mat, (rows, i1), w1)
+    return jnp.asarray(mat)
+
+
 def resize_bilinear(
     x: jnp.ndarray, size: tuple[int, int], align_corners: bool = False
 ) -> jnp.ndarray:
-    """torch F.interpolate(mode='bilinear') on [..., H, W, C]."""
+    """torch F.interpolate(mode='bilinear') on [..., H, W, C].
+
+    Implemented as two static weight-matrix contractions (one per axis,
+    HIGHEST precision so the MXU path is f32-accurate) instead of four
+    gathers: each output row is a 2-nonzero convex combination of input
+    rows, so the matrix product is mathematically identical to the
+    gather+lerp form, and XLA keeps clean layouts (gathers along non-minor
+    axes force transposed layouts that ripple copies into the surrounding
+    FPN/VL-block ops)."""
     h_out, w_out = size
     h_in, w_in = x.shape[-3], x.shape[-2]
     if (h_in, w_in) == (h_out, w_out):
         return x
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    iy0, iy1, wy = _linear_weights(h_out, h_in, align_corners)
-    ix0, ix1, wx = _linear_weights(w_out, w_in, align_corners)
-    top = jnp.take(xf, iy0, axis=-3)
-    bot = jnp.take(xf, iy1, axis=-3)
-    wy = wy.reshape((h_out, 1, 1))
-    rows = top * (1.0 - wy) + bot * wy
-    left = jnp.take(rows, ix0, axis=-2)
-    right = jnp.take(rows, ix1, axis=-2)
-    wx = wx.reshape((w_out, 1))
-    out = left * (1.0 - wx) + right * wx
-    return out.astype(dtype)
+    hi = jax.lax.Precision.HIGHEST
+    if h_out != h_in:
+        my = _linear_matrix(h_out, h_in, align_corners)
+        xf = jnp.einsum("...hwc,oh->...owc", xf, my, precision=hi)
+    if w_out != w_in:
+        mx = _linear_matrix(w_out, w_in, align_corners)
+        xf = jnp.einsum("...hwc,ow->...hoc", xf, mx, precision=hi)
+    return xf.astype(dtype)
 
 
 def replicate_pad(x: jnp.ndarray, pad: tuple[int, int, int, int]) -> jnp.ndarray:
