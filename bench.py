@@ -35,8 +35,8 @@ V5E_BF16_PEAK_FLOPS = 197e12
 T = 5
 H, W = 384, 640
 WARMUP = 3
-ITERS = 6
-K = 8  # clips per dispatch (lax.scan) — amortizes per-dispatch RPC overhead
+ITERS = 4
+K = 16  # clips per dispatch (lax.scan) — amortizes per-dispatch RPC overhead
 
 
 def main():

@@ -25,25 +25,31 @@ L = len(SHAPES)
 K1, K2, TRIALS = 2, 18, 4
 
 
-def make_inputs(k, seed, head_major=False):
+def make_inputs(k, seed, head_major=False, nmq=False):
     rng = np.random.RandomState(seed)
-    vshape = (k, N, M, S, D) if head_major else (k, N, S, M, D)
+    vshape = (k, N, M, S, D) if (head_major or nmq) else (k, N, S, M, D)
     value = jnp.asarray(rng.randn(*vshape).astype(np.float32))
-    loc = jnp.asarray(rng.rand(k, N, Q, M, L, P, 2).astype(np.float32))
-    attn = rng.rand(k, N, Q, M, L, P).astype(np.float32)
+    if nmq:  # head-major loc/attn (the production model layout)
+        loc = jnp.asarray(rng.rand(k, N, M, Q, L, P, 2).astype(np.float32))
+        attn = rng.rand(k, N, M, Q, L, P).astype(np.float32)
+    else:
+        loc = jnp.asarray(rng.rand(k, N, Q, M, L, P, 2).astype(np.float32))
+        attn = rng.rand(k, N, Q, M, L, P).astype(np.float32)
     attn = attn / attn.sum((-1, -2), keepdims=True)
     return value, loc, jnp.asarray(attn)
 
 
 class Variant:
-    def __init__(self, name, fn, head_major=False, k1=K1, k2=K2):
+    def __init__(self, name, fn, head_major=False, nmq=False, k1=K1, k2=K2):
         self.name, self.fn, self.head_major = name, fn, head_major
+        self.nmq = nmq
         self.k1, self.k2 = k1, k2
         self.best = float("inf")
 
     def prepare(self, seed):
         self.inputs = {
-            k: make_inputs(k, seed + k, self.head_major) for k in (self.k1, self.k2)
+            k: make_inputs(k, seed + k, self.head_major, self.nmq)
+            for k in (self.k1, self.k2)
         }
 
         fn = self.fn
@@ -72,7 +78,7 @@ class Variant:
 
 
 def main():
-    which = sys.argv[1:] or ["pallas", "pallas_nm"]
+    which = sys.argv[1:] or ["pallas_nm", "pallas_nmq"]
     variants = []
     if "xla" in which:
         from tce_rvos_tpu.ops.msda import ms_deform_attn
@@ -94,6 +100,16 @@ def main():
                 "pallas_nm [N,M,S,D]",
                 lambda v, l, a: ms_deform_attn_pallas_nm(v, SHAPES, l, a),
                 head_major=True,
+            )
+        )
+    if "pallas_nmq" in which:
+        from tce_rvos_tpu.ops.pallas_msda import ms_deform_attn_pallas_nmq
+
+        variants.append(
+            Variant(
+                "pallas_nmq [all head-major]",
+                lambda v, l, a: ms_deform_attn_pallas_nmq(v, SHAPES, l, a),
+                nmq=True,
             )
         )
 

@@ -56,18 +56,21 @@ def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
 
 class _HeadMajorDense(nn.Module):
     """nn.Dense-compatible linear (same param tree: kernel [C, F], bias
-    [F]) whose output is emitted HEAD-MAJOR [N, M, S, D] — the layout the
-    Pallas MSDA kernels consume — so no [N,S,M,D] -> [N,M,S,D] relayout
-    survives the projection."""
+    [F]) whose output is emitted HEAD-MAJOR [N, M, S, F/M] — the layout the
+    Pallas MSDA kernels consume (value, sampling locations and attention
+    weights alike) — so no [N,S,M,*] -> [N,M,S,*] relayout survives any of
+    the per-head projections."""
 
     features: int
     n_heads: int
+    kernel_init: nn.initializers.Initializer = xavier
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x):  # x: [N, S, C]
         c = x.shape[-1]
-        kernel = self.param("kernel", xavier, (c, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = self.param("kernel", self.kernel_init, (c, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
         d = self.features // self.n_heads
         k = kernel.reshape(c, self.n_heads, d).astype(x.dtype)
         b = bias.reshape(self.n_heads, d).astype(x.dtype)
@@ -124,43 +127,69 @@ class MSDeformAttnLayer(nn.Module):
                 value = jnp.where(padding_mask[..., None], 0.0, value)
             value = value.reshape(n, s, m, self.d_model // m)
 
-        offsets = nn.Dense(
-            m * l * p * 2,
-            kernel_init=nn.initializers.zeros,
-            bias_init=_offset_bias_init(m, l, p),
-            name="sampling_offsets",
-        )(query).reshape(n, q_len, m, l, p, 2)
-        attn = nn.Dense(
-            m * l * p,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            name="attention_weights",
-        )(query).reshape(n, q_len, m, l * p)
-        attn = nn.softmax(attn, axis=-1).reshape(n, q_len, m, l, p)
+        if self.impl == "pallas":
+            # head-major (nmq) projections: loc/attn come out as
+            # [N, M, Q, ...] so the kernel's Q-major pack is a minor-axis
+            # concat — no relayout between the projections and the kernel
+            offsets = _HeadMajorDense(
+                m * l * p * 2, m,
+                kernel_init=nn.initializers.zeros,
+                bias_init=_offset_bias_init(m, l, p),
+                name="sampling_offsets",
+            )(query).reshape(n, m, q_len, l, p, 2)
+            attn = _HeadMajorDense(
+                m * l * p, m,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                name="attention_weights",
+            )(query).reshape(n, m, q_len, l * p)
+            attn = nn.softmax(attn, axis=-1).reshape(n, m, q_len, l, p)
+            ref = reference_points[:, None]  # broadcast over the head axis
+        else:
+            offsets = nn.Dense(
+                m * l * p * 2,
+                kernel_init=nn.initializers.zeros,
+                bias_init=_offset_bias_init(m, l, p),
+                name="sampling_offsets",
+            )(query).reshape(n, q_len, m, l, p, 2)
+            attn = nn.Dense(
+                m * l * p,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                name="attention_weights",
+            )(query).reshape(n, q_len, m, l * p)
+            attn = nn.softmax(attn, axis=-1).reshape(n, q_len, m, l, p)
+            ref = reference_points[:, :, None]  # broadcast over heads
 
         if reference_points.shape[-1] == 2:
             normalizer = jnp.asarray(
                 [[w, h] for h, w in spatial_shapes], dtype=offsets.dtype
             )  # [L, 2] (x, y)
             loc = (
-                reference_points[:, :, None, :, None, :]
+                ref[:, :, :, :, None, :]
                 + offsets / normalizer[None, None, None, :, None, :]
             )
         elif reference_points.shape[-1] == 4:
             loc = (
-                reference_points[:, :, None, :, None, :2]
-                + offsets / p * reference_points[:, :, None, :, None, 2:] * 0.5
+                ref[:, :, :, :, None, :2]
+                + offsets / p * ref[:, :, :, :, None, 2:] * 0.5
             )
         else:
             raise ValueError("reference_points last dim must be 2 or 4")
 
         if self.impl == "pallas":
-            from tce_rvos_tpu.ops.pallas_msda import ms_deform_attn_pallas_nm
+            from tce_rvos_tpu.ops.pallas_msda import ms_deform_attn_pallas_nmq
 
-            out = ms_deform_attn_pallas_nm(
+            out = ms_deform_attn_pallas_nmq(
                 value_nm, spatial_shapes, loc, attn,
                 pixel_queries=self.pixel_queries,
             )
+            # consumers (decoder top-30 visualization export) expect the
+            # reference [N, Q, M, ...] layout; XLA dead-code-eliminates
+            # these transposes at the call sites that discard them
+            # (encoder self-attention, FTF)
+            loc = loc.transpose(0, 2, 1, 3, 4, 5)
+            attn = attn.transpose(0, 2, 1, 3, 4)
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn)
         # named for the remat policy below: the MSDA output is saved across

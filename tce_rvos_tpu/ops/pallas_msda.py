@@ -453,7 +453,7 @@ def _run_flat(
 
 
 def _band_and_escape(
-    py: jnp.ndarray,  # [N, Q0, M, P] absolute pixel rows for the level
+    py: jnp.ndarray,  # [N, M, G*BQ, P] absolute pixel rows for the level
     nblk: int,
     bq: int,
     h: int,
@@ -469,14 +469,14 @@ def _band_and_escape(
     back to the full-height kernel, keeping exactness for ANY offsets).
     ``quant`` keeps the start lane/sublane-aligned (4 rows for the
     separable level's lane slice: 4*D = 128 lanes)."""
-    n = py.shape[0]
-    b = py.reshape(n, nblk, -1)
+    n, m = py.shape[0], py.shape[1]
+    b = py.reshape(n, m, nblk, -1)
     lo = jnp.clip(
-        jnp.floor(jnp.min(b, axis=2)).astype(jnp.int32), 0, max(h - hb, 0)
+        jnp.floor(jnp.min(b, axis=(1, 3))).astype(jnp.int32), 0, max(h - hb, 0)
     )
     lo = (lo // quant) * quant
     hi_row = jnp.minimum(
-        jnp.floor(jnp.max(b, axis=2)).astype(jnp.int32) + 1, h - 1
+        jnp.floor(jnp.max(b, axis=(1, 3))).astype(jnp.int32) + 1, h - 1
     )
     escape = jnp.any(hi_row > lo + (hb - 1))
     return lo, escape
@@ -491,6 +491,9 @@ def _banded_parts(groups, loc, lvl, h, bq, quant, full_hb, rows_fn, run):
     full-height fallback (the escape path keeps oracle exactness for
     arbitrary offsets).
 
+    ``loc`` is HEAD-MAJOR [N, M, Q, L, P, 2] (the nmq layout — queries in
+    sublanes per head, no packing transposes anywhere; unpadded — banded
+    groups are always fully inside the real query range).
     ``rows_fn(j)``: band height (rows) for a group whose queries are the
     pixels of level ``j`` — return 0 to disable banding for that group.
     ``run(band, hb, blk_off, nblk)``: launch the kernel; ``full_hb`` is the
@@ -500,7 +503,7 @@ def _banded_parts(groups, loc, lvl, h, bq, quant, full_hb, rows_fn, run):
     for off, cnt, j in groups:
         hb = rows_fn(j) if j is not None else 0
         if hb:
-            py = loc[:, off * bq : (off + cnt) * bq, :, lvl, :, 1] * h - 0.5
+            py = loc[:, :, off * bq : (off + cnt) * bq, lvl, :, 1] * h - 0.5
             band, esc = _band_and_escape(py, cnt, bq, h, hb, quant=quant)
             parts.append(jax.lax.cond(
                 esc,
@@ -512,11 +515,14 @@ def _banded_parts(groups, loc, lvl, h, bq, quant, full_hb, rows_fn, run):
     return parts
 
 
-def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
-                     pixel_queries=False):
-    """Shared forward given head-major value [N, M, S, D] (bf16)."""
+def _forward_from_nmq(value_nm, spatial_shapes, loc, attn, out_dtype,
+                      pixel_queries=False):
+    """Shared forward, ALL inputs head-major: value [N, M, S, D] (bf16),
+    loc [N, M, Q, L, P, 2], attn [N, M, Q, L, P] (the nmq layout the model
+    emits straight from per-head projection einsums — no relayout between
+    the projections and the kernels)."""
     n, m, s, d = value_nm.shape
-    q = loc.shape[1]
+    q = loc.shape[2]
     starts = level_splits(spatial_shapes)
     nlvl = len(spatial_shapes)
     p = loc.shape[4]
@@ -526,13 +532,13 @@ def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
     qp = q + pad
     nblk = qp // bq
     # ONE Q-MAJOR loc+attn pack [N, M, Qp, L*P*3]: the kernels slice columns
-    # directly (queries stay in sublanes end to end); the (0,2,1,3)
-    # transpose moves only the small head axis with 48-float contiguous runs
+    # directly (queries stay in sublanes end to end); head-major inputs make
+    # this a minor-axis concat + pad — no transposes
     qa = jnp.concatenate(
-        [loc.reshape(n, q, m, nlvl * p * 2), attn.reshape(n, q, m, nlvl * p)],
+        [loc.reshape(n, m, q, nlvl * p * 2), attn.reshape(n, m, q, nlvl * p)],
         axis=-1,
     )
-    qa = jnp.pad(qa, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    qa = jnp.pad(qa, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
     sep_lvls = [
         lvl for lvl, (h, w) in enumerate(spatial_shapes)
@@ -605,6 +611,66 @@ def _forward_from_nm(value_nm, spatial_shapes, loc, attn, out_dtype,
     return out[:, :q].astype(out_dtype)  # [N, Q, M*D]
 
 
+def _bwd_block_size(q: int) -> int:
+    return 128 if q <= 128 else BWD_BQ
+
+
+# ---- nmq entry: everything head-major (the production model path) ----
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def ms_deform_attn_pallas_nmq(
+    value_nm: jnp.ndarray,
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jnp.ndarray,   # [N, M, Q, L, P, 2]
+    attention_weights: jnp.ndarray,    # [N, M, Q, L, P]
+    pixel_queries: bool = False,
+) -> jnp.ndarray:
+    """ALL-HEAD-MAJOR variant: value [N, M, S, D], loc/attn [N, M, Q, ...]
+    — the layouts per-head projection einsums emit directly
+    (einsum('nsc,cmd->nmsd') / einsum('nqc,cmk->nmqk')), so neither the
+    value nor the loc/attn pack pays a relayout between the projections
+    and the kernels. Semantics identical to ``ms_deform_attn_pallas`` with
+    the corresponding transposed arguments; output stays [N, Q, M*D].
+    ``pixel_queries=True`` declares that the queries are the flattened
+    level pixels in row-major order (encoder self-attention) — enables the
+    banded value windows; semantics are unchanged either way."""
+    return _forward_from_nmq(
+        value_nm.astype(jnp.bfloat16), spatial_shapes, sampling_locations,
+        attention_weights, value_nm.dtype, pixel_queries,
+    )
+
+
+def _fwd_nmq(value_nm, spatial_shapes, loc, attn, pixel_queries=False):
+    return (
+        ms_deform_attn_pallas_nmq(
+            value_nm, spatial_shapes, loc, attn, pixel_queries
+        ),
+        (value_nm, loc, attn),
+    )
+
+
+def _bwd_nmq(spatial_shapes, pixel_queries, res, g):
+    from tce_rvos_tpu.ops.pallas_msda_bwd import msda_backward_nmq
+
+    value_nm, loc, attn = res
+    dv_nm, dloc, dattn = msda_backward_nmq(
+        value_nm, spatial_shapes, loc, attn, g,
+        _bwd_block_size(loc.shape[2]), BWD_FLAT_MAX_PIXELS,
+        pixel_queries=pixel_queries,
+    )
+    return dv_nm.astype(value_nm.dtype), dloc, dattn
+
+
+ms_deform_attn_pallas_nmq.defvjp(_fwd_nmq, _bwd_nmq)
+
+
+# ---- compatibility entries (tests, validators, non-model callers) ----
+
+def _nmq_args(loc, attn):
+    """Standard [N, Q, M, ...] loc/attn -> nmq [N, M, Q, ...]."""
+    return loc.transpose(0, 2, 1, 3, 4, 5), attn.transpose(0, 2, 1, 3, 4)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
 def ms_deform_attn_pallas(
     value: jnp.ndarray,
@@ -614,43 +680,40 @@ def ms_deform_attn_pallas(
     pixel_queries: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.msda.ms_deform_attn (same signature,
-    same semantics), forward on the Pallas kernel. value: [N, S, M, D].
-    ``pixel_queries=True`` declares that the queries are the flattened
-    level pixels in row-major order (encoder self-attention) — enables the
-    banded value windows; semantics are unchanged either way."""
-    return _forward(value, spatial_shapes, sampling_locations,
-                    attention_weights, pixel_queries)
-
-
-def _forward(value, spatial_shapes, loc, attn, pixel_queries=False):
-    # ONE head-major transpose + bf16 cast for the whole pyramid (profiled
-    # at well under 1 ms)
-    value_nm = value.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # [N, M, S, D]
-    return _forward_from_nm(value_nm, spatial_shapes, loc, attn, value.dtype,
-                            pixel_queries)
-
-
-def _bwd_block_size(q: int) -> int:
-    return 128 if q <= 128 else BWD_BQ
+    same semantics), forward on the Pallas kernel. value: [N, S, M, D],
+    loc/attn: [N, Q, M, ...] (reference layouts — transposed once into the
+    head-major nmq layout here; the production model calls
+    ``ms_deform_attn_pallas_nmq`` and skips these relayouts entirely)."""
+    loc, attn = _nmq_args(sampling_locations, attention_weights)
+    return _forward_from_nmq(
+        value.transpose(0, 2, 1, 3).astype(jnp.bfloat16), spatial_shapes,
+        loc, attn, value.dtype, pixel_queries,
+    )
 
 
 def _fwd(value, spatial_shapes, loc, attn, pixel_queries=False):
     return (
-        _forward(value, spatial_shapes, loc, attn, pixel_queries),
+        ms_deform_attn_pallas(value, spatial_shapes, loc, attn,
+                              pixel_queries),
         (value, loc, attn),
     )
 
 
 def _bwd(spatial_shapes, pixel_queries, res, g):
-    from tce_rvos_tpu.ops.pallas_msda_bwd import msda_backward_hm
+    from tce_rvos_tpu.ops.pallas_msda_bwd import msda_backward_nmq
 
     value, loc, attn = res
-    dv_hm, dloc, dattn = msda_backward_hm(
-        value.transpose(0, 2, 1, 3), spatial_shapes, loc, attn, g,
+    loc_nmq, attn_nmq = _nmq_args(loc, attn)
+    dv_hm, dloc, dattn = msda_backward_nmq(
+        value.transpose(0, 2, 1, 3), spatial_shapes, loc_nmq, attn_nmq, g,
         _bwd_block_size(loc.shape[1]), BWD_FLAT_MAX_PIXELS,
         pixel_queries=pixel_queries,
     )
-    return dv_hm.transpose(0, 2, 1, 3).astype(value.dtype), dloc, dattn
+    return (
+        dv_hm.transpose(0, 2, 1, 3).astype(value.dtype),
+        dloc.transpose(0, 2, 1, 3, 4, 5),
+        dattn.transpose(0, 2, 1, 3, 4),
+    )
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)
@@ -664,37 +727,39 @@ def ms_deform_attn_pallas_nm(
     attention_weights: jnp.ndarray,
     pixel_queries: bool = False,
 ) -> jnp.ndarray:
-    """Head-major variant: ``value_nm`` is [N, M, S, D] (as produced by a
-    per-head batched projection, e.g. einsum('nsc,cmd->nmsd')). Semantics
-    identical to ``ms_deform_attn_pallas(value_nm.transpose(0,2,1,3), ...)``
-    without the [N,S,M,D] -> [N,M,S,D] relayout; the backward likewise
-    returns the gradient in [N, M, S, D]."""
-    return _forward_from_nm(
-        value_nm.astype(jnp.bfloat16), spatial_shapes, sampling_locations,
-        attention_weights, value_nm.dtype, pixel_queries,
+    """Head-major VALUE, standard loc/attn [N, Q, M, ...] — kept for
+    callers that have the per-head value but reference-layout locations
+    (scripts/bench_msda.py variants)."""
+    loc, attn = _nmq_args(sampling_locations, attention_weights)
+    return _forward_from_nmq(
+        value_nm.astype(jnp.bfloat16), spatial_shapes, loc, attn,
+        value_nm.dtype, pixel_queries,
     )
 
 
 def _fwd_nm(value_nm, spatial_shapes, loc, attn, pixel_queries=False):
     return (
-        _forward_from_nm(
-            value_nm.astype(jnp.bfloat16), spatial_shapes, loc, attn,
-            value_nm.dtype, pixel_queries,
-        ),
+        ms_deform_attn_pallas_nm(value_nm, spatial_shapes, loc, attn,
+                                 pixel_queries),
         (value_nm, loc, attn),
     )
 
 
 def _bwd_nm(spatial_shapes, pixel_queries, res, g):
-    from tce_rvos_tpu.ops.pallas_msda_bwd import msda_backward_hm
+    from tce_rvos_tpu.ops.pallas_msda_bwd import msda_backward_nmq
 
     value_nm, loc, attn = res
-    dv_nm, dloc, dattn = msda_backward_hm(
-        value_nm, spatial_shapes, loc, attn, g,
+    loc_nmq, attn_nmq = _nmq_args(loc, attn)
+    dv_nm, dloc, dattn = msda_backward_nmq(
+        value_nm, spatial_shapes, loc_nmq, attn_nmq, g,
         _bwd_block_size(loc.shape[1]), BWD_FLAT_MAX_PIXELS,
         pixel_queries=pixel_queries,
     )
-    return dv_nm.astype(value_nm.dtype), dloc, dattn
+    return (
+        dv_nm.astype(value_nm.dtype),
+        dloc.transpose(0, 2, 1, 3, 4, 5),
+        dattn.transpose(0, 2, 1, 3, 4),
+    )
 
 
 ms_deform_attn_pallas_nm.defvjp(_fwd_nm, _bwd_nm)

@@ -393,17 +393,18 @@ def _pallas(kernel, grid, in_specs, out_specs, out_shape, band=None):
     )
 
 
-def msda_backward_hm(
+def msda_backward_nmq(
     value_hm: jnp.ndarray,     # [N, M, S, D] head-major value (as forward)
     spatial_shapes: SpatialShapes,
-    loc: jnp.ndarray,          # [N, Q, M, L, P, 2]
-    attn: jnp.ndarray,         # [N, Q, M, L, P]
+    loc: jnp.ndarray,          # [N, M, Q, L, P, 2] (nmq — head-major)
+    attn: jnp.ndarray,         # [N, M, Q, L, P]
     g: jnp.ndarray,            # [N, Q, M*D] upstream cotangent
     bq: int,                   # shared Q-block size for sep + flat kernels
     flat_max_pixels: int,
     pixel_queries: bool = False,
 ):
-    """Returns (d_value_hm [N, M, S, D] f32, d_loc, d_attn)."""
+    """Returns (d_value_hm [N, M, S, D] f32, d_loc, d_attn) — loc/attn
+    gradients in the same nmq layout as the inputs."""
     from tce_rvos_tpu.ops.pallas_msda import (
         _banded_parts,
         _flat_band_rows,
@@ -413,7 +414,7 @@ def msda_backward_hm(
     )
 
     n, m, s, d = value_hm.shape
-    q = loc.shape[1]
+    q = loc.shape[2]
     nlvl = len(spatial_shapes)
     p = loc.shape[4]
     starts = level_splits(spatial_shapes)
@@ -422,23 +423,24 @@ def msda_backward_hm(
     pad = (-q) % bq
     qp = q + pad
     nblk = qp // bq
-    # Q-major pack (same layout as the forward)
+    # Q-major pack (same layout as the forward): head-major inputs make it
+    # a minor-axis concat + pad, no transposes
     qa = jnp.concatenate(
-        [loc.reshape(n, q, m, nlvl * p * 2), attn.reshape(n, q, m, nlvl * p)],
+        [loc.reshape(n, m, q, nlvl * p * 2), attn.reshape(n, m, q, nlvl * p)],
         axis=-1,
     )
-    qa = jnp.pad(qa, ((0, 0), (0, pad), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    qa = jnp.pad(qa, ((0, 0), (0, 0), (0, pad), (0, 0)))
     g_nm = jnp.pad(
         g.reshape(n, q, m, d), ((0, 0), (0, pad), (0, 0), (0, 0))
     ).transpose(0, 2, 1, 3)                                 # [N, M, Qp, D]
     # Q-minor layouts for the value-grad kernels (their transposed builds
-    # want queries in lanes)
+    # want queries in lanes): per-head last-two-axes transposes
     loc_qmin = jnp.pad(
-        loc.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
-    ).transpose(0, 2, 1).reshape(n, m, nlvl * p * 2, qp)
+        loc.reshape(n, m, q, -1), ((0, 0), (0, 0), (0, pad), (0, 0))
+    ).transpose(0, 1, 3, 2)                  # [N, M, L*P*2, Qp]
     attn_qmin = jnp.pad(
-        attn.reshape(n, q, -1), ((0, 0), (0, pad), (0, 0))
-    ).transpose(0, 2, 1).reshape(n, m, nlvl * p, qp)
+        attn.reshape(n, m, q, -1), ((0, 0), (0, 0), (0, pad), (0, 0))
+    ).transpose(0, 1, 3, 2)                  # [N, M, L*P, Qp]
 
     sep_lvls = [
         lvl for lvl, (h, w) in enumerate(spatial_shapes)
@@ -626,13 +628,12 @@ def msda_backward_hm(
 
     d_value_hm = jnp.concatenate(dvalue_rows, axis=2)       # [N, M, S, D] f32
 
-    # ---- q-side reassembly: [N, M, Qp, *] -> loc/attn shapes ----
-    dloc_stack = jnp.stack(
-        [x[:, :, :q] for x in dloc_lvl], axis=2
-    )                                                       # [N, M, L, Q, P*2]
-    d_loc = dloc_stack.transpose(0, 3, 1, 2, 4).reshape(n, q, m, nlvl, p, 2)
-    dattn_stack = jnp.stack(
-        [x[:, :, :q] for x in dattn_lvl], axis=2
-    )                                                       # [N, M, L, Q, P]
-    d_attn = dattn_stack.transpose(0, 3, 1, 2, 4)
+    # ---- q-side reassembly: [N, M, Qp, *] -> nmq loc/attn shapes (a stack
+    # along a NEW axis 3 — no transposes in the head-major layout) ----
+    d_loc = jnp.stack(
+        [x[:, :, :q] for x in dloc_lvl], axis=3
+    ).reshape(n, m, q, nlvl, p, 2)                          # [N, M, Q, L, P, 2]
+    d_attn = jnp.stack(
+        [x[:, :, :q] for x in dattn_lvl], axis=3
+    )                                                       # [N, M, Q, L, P]
     return d_value_hm, d_loc.astype(loc.dtype), d_attn.astype(attn.dtype)

@@ -187,7 +187,10 @@ def test_banded_pixel_queries_parity(max_off, expect_banded):
     nb0 = (h0 * w0) // DEFAULT_BQ
     hb = _sep_band_rows(h0, D_B, -(-DEFAULT_BQ // w0))
     assert hb > 0
-    py = loc[:, : nb0 * DEFAULT_BQ, :, 0, :, 1] * h0 - 0.5
+    # _band_and_escape takes the head-major nmq layout [N, M, G*BQ, P]
+    py = (
+        loc[:, : nb0 * DEFAULT_BQ, :, 0, :, 1].transpose(0, 2, 1, 3) * h0 - 0.5
+    )
     _, esc = _band_and_escape(
         py, nb0, DEFAULT_BQ, h0, hb, quant=128 // D_B
     )
