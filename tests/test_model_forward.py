@@ -93,6 +93,36 @@ def test_forward_jits_and_is_deterministic():
     )
 
 
+def test_pallas_impl_numeric_parity_with_xla():
+    """Same parameters through BOTH msda_impl paths must produce the same
+    model outputs (bf16-tap tolerance): the pallas path's head-major
+    projections, raw-encoder pack and in-kernel softmax/coords are layout
+    optimizations, not semantic changes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    base = dict(
+        enc_layers=1, dec_layers=1, dim_feedforward=32, binary=True,
+        text_encoder_layers=1, text_encoder_hidden=32, text_encoder_heads=2,
+        text_encoder_intermediate=64, num_frames=2, f_token=2, qtrans=True,
+        with_box_refine=True,
+    )
+    cfg_x = ModelConfig(msda_impl="xla", **base)
+    cfg_p = ModelConfig(msda_impl="pallas", **base)
+    model_x, model_p = build_model(cfg_x), build_model(cfg_p)
+    inputs = example_inputs(cfg_x, b=1, t=2, hw=(32, 32))
+    rng = jax.random.PRNGKey(2)
+    variables = jax.jit(model_x.init)(rng, **inputs)
+    out_x = jax.jit(lambda v, **i: model_x.apply(v, **i))(variables, **inputs)
+    with pltpu.force_tpu_interpret_mode():
+        out_p = jax.jit(lambda v, **i: model_p.apply(v, **i))(
+            variables, **inputs
+        )
+    for k in ("pred_logits", "pred_boxes", "pred_masks"):
+        a, b = np.asarray(out_x[k]), np.asarray(out_p[k])
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.abs(a - b).max() < 0.03 * scale, (k, np.abs(a - b).max())
+
+
 def test_pallas_impl_param_tree_matches_xla():
     """The pallas path's head-major value projection must declare the SAME
     parameter tree as the xla path's nn.Dense (checkpoint compatibility:
