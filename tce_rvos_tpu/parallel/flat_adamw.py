@@ -42,8 +42,8 @@ _B1, _B2, _EPS = 0.9, 0.999, 1e-8  # optax.adamw defaults
 
 class FlatAdamWState(NamedTuple):
     count: jnp.ndarray  # [] int32
-    mu: jnp.ndarray     # [P] f32
-    nu: jnp.ndarray     # [P] f32
+    mu: jnp.ndarray     # [P_live] f32 (live params only — frozen moments
+    nu: jnp.ndarray     # are identically zero and are not stored)
     # global grad norm of the LAST update (pre-clip, over all grads incl.
     # frozen — same value torch's clip_grad_norm_ returns, engine.py:77).
     # Exposed so the train step's grad_norm metric reuses this single
@@ -52,16 +52,30 @@ class FlatAdamWState(NamedTuple):
     gnorm: jnp.ndarray  # [] f32
 
 
+_TIER_ORDER = ("frozen", "base", "backbone", "text_encoder", "linear_proj")
+
+
 def make_flat_adamw(params, cfg: TrainConfig, steps_per_epoch: int = 1
                     ) -> optax.GradientTransformation:
-    """Build the fused transformation for a given params tree. The tree's
-    flattened key order fixes the vector layout; state round-trips through
-    the template-based checkpoint path like any other pytree."""
+    """Build the fused transformation for a given params tree.
+
+    The flat vector layout is TIER-SORTED: leaves are ordered
+    [frozen | base | backbone | text_encoder | linear_proj] (stable within
+    a tier), so the per-element LR-multiplier / frozen-mask vectors of the
+    reference's param grouping collapse to STATIC slice boundaries plus
+    per-tier scalars. The former full-width ``rel``/``wd``/``live``
+    vectors were three [P]-sized captured constants — 2.2 GB of embedded
+    HLO at flagship size, which broke remote compilation and bloated every
+    compiled artifact. The sorted layout is deterministic given
+    (params tree, TrainConfig); optimizer state round-trips through the
+    template-based checkpoint path like any other pytree."""
     from tce_rvos_tpu.parallel.train_step import (
         cyclic_schedule, multistep_schedule, param_group)
 
     flat = traverse_util.flatten_dict(params, sep="/")
-    paths = list(flat.keys())
+    paths = sorted(
+        flat.keys(), key=lambda p: _TIER_ORDER.index(param_group(p, cfg))
+    )
     shapes = [np.shape(flat[p]) for p in paths]
     sizes = [int(np.prod(s, dtype=np.int64)) for s in shapes]
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
@@ -73,14 +87,23 @@ def make_flat_adamw(params, cfg: TrainConfig, steps_per_epoch: int = 1
         "text_encoder": cfg.lr_text_encoder,
         "linear_proj": cfg.lr * cfg.lr_linear_proj_mult,
     }
-    rel = np.zeros((total,), np.float32)   # per-element LR multiplier
-    live = np.zeros((total,), np.float32)  # 0 where frozen
-    for p, o, sz in zip(paths, offsets, sizes):
-        group = param_group(p, cfg)
-        if group == "frozen":
-            continue
-        live[o:o + sz] = 1.0
-        rel[o:o + sz] = 1.0 if cfg.cyclic_lr else lrs[group]
+    # contiguous [lo, hi) per tier (tier-sorted layout), frozen first
+    tier_of = [param_group(p, cfg) for p in paths]
+    frozen_len = sum(
+        sz for t, sz in zip(tier_of, sizes) if t == "frozen"
+    )
+    live_total = total - frozen_len
+    # live-tier slices in LIVE-vector coordinates (offset - frozen_len)
+    tier_slices = []  # [(lo, hi, rel_scalar)]
+    for tier in _TIER_ORDER[1:]:
+        lo = hi = None
+        for t, o, sz in zip(tier_of, offsets, sizes):
+            if t == tier and sz:
+                lo = int(o) if lo is None else lo
+                hi = int(o) + sz
+        if lo is not None:
+            rel = 1.0 if cfg.cyclic_lr else lrs[tier]
+            tier_slices.append((lo - frozen_len, hi - frozen_len, rel))
 
     if cfg.cyclic_lr:
         # reference main.py:245-249: CyclicLR overrides every group with the
@@ -89,9 +112,7 @@ def make_flat_adamw(params, cfg: TrainConfig, steps_per_epoch: int = 1
     else:
         common = multistep_schedule(1.0, cfg, steps_per_epoch)
 
-    rel_v = jnp.asarray(rel)
-    wd_v = jnp.asarray(live * cfg.weight_decay)
-    live_v = jnp.asarray(live)
+    wd = cfg.weight_decay
     clip = cfg.clip_max_norm
 
     def _flatten(tree):
@@ -108,7 +129,7 @@ def make_flat_adamw(params, cfg: TrainConfig, steps_per_epoch: int = 1
         return traverse_util.unflatten_dict(out, sep="/")
 
     def init(params_):
-        z = jnp.zeros((total,), jnp.float32)
+        z = jnp.zeros((live_total,), jnp.float32)
         return FlatAdamWState(
             jnp.zeros((), jnp.int32), z, z, jnp.zeros((), jnp.float32))
 
@@ -116,11 +137,12 @@ def make_flat_adamw(params, cfg: TrainConfig, steps_per_epoch: int = 1
         if params is None:
             raise ValueError("flat adamw requires params (weight decay)")
         g_all = _flatten(grads)
-        p = _flatten(params)
         # clip over ALL grads (optax chain clips before the frozen tier's
         # set_to_zero; torch clips every param's grad, engine.py:77)
         gnorm = jnp.sqrt(jnp.sum(g_all * g_all))
-        g = g_all * jnp.where(gnorm < clip, 1.0, clip / gnorm) * live_v
+        # frozen prefix: zero update, moments not stored — slice it off
+        g = g_all[frozen_len:] * jnp.where(gnorm < clip, 1.0, clip / gnorm)
+        p = _flatten(params)[frozen_len:]
         c = state.count + 1
         mu = _B1 * state.mu + (1.0 - _B1) * g
         nu = _B2 * state.nu + (1.0 - _B2) * (g * g)
@@ -129,7 +151,16 @@ def make_flat_adamw(params, cfg: TrainConfig, steps_per_epoch: int = 1
         nhat = nu / (1.0 - _B2 ** cf)
         adam = mhat / (jnp.sqrt(nhat) + _EPS)
         lr_t = common(state.count)  # pre-increment, optax scale_by_schedule
-        upd = (-lr_t) * rel_v * (adam + wd_v * p)
+        aw = adam + wd * p
+        # per-tier base LR: scalar * static contiguous slice (the former
+        # full-width rel vector, without the [P] constant)
+        upd_live = jnp.concatenate(
+            [r * aw[lo:hi] for lo, hi, r in tier_slices]
+        ) * (-lr_t)
+        upd = (
+            jnp.concatenate([jnp.zeros((frozen_len,), jnp.float32), upd_live])
+            if frozen_len else upd_live
+        )
         return _unflatten(upd, grads), FlatAdamWState(c, mu, nu, gnorm)
 
     return optax.GradientTransformation(init, update)
