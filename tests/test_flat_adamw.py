@@ -276,3 +276,25 @@ def test_flat_state_checkpoint_roundtrip(tmp_path):
                                   np.asarray(state.mu))
     np.testing.assert_array_equal(np.asarray(restored.nu),
                                   np.asarray(state.nu))
+
+
+def test_update_captures_no_large_constants():
+    """Regression: the update must not embed param-sized arrays as jit
+    constants. The pre-tier-sorted version captured three [P] f32 vectors
+    (LR multiplier / decay mask / frozen mask) — 2.2 GB at flagship size,
+    which broke remote compilation (HTTP 413) and bloated every compiled
+    artifact. The tier-sorted layout needs only static slice boundaries."""
+    cfg = TrainConfig(pretrain_enc=True)  # exercises the frozen tier too
+    rng = np.random.default_rng(5)
+    params = _params(rng)
+    tx = make_flat_adamw(params, cfg, 2)
+    state = tx.init(params)
+    g = _grad_seq(params, rng, 1)[0]
+    jaxpr = jax.make_jaxpr(lambda gr, st, p: tx.update(gr, st, p))(
+        g, state, params
+    )
+    big = [
+        c for c in jaxpr.consts
+        if hasattr(c, "nbytes") and c.nbytes > 1024
+    ]
+    assert not big, [(type(c), getattr(c, "shape", None)) for c in big]
