@@ -139,7 +139,6 @@ def _flat_kernel_3d(qa_ref, v_ref, out_ref, *, shapes, lvl_idx, nlvl, d, m,
         acc = jnp.zeros((bq, d), jnp.float32)
         for fi in range(nfrm):
             segs = []
-            row_off = 0
             for (h, w), lvl in zip(shapes, lvl_idx):
                 lane = jax.lax.broadcasted_iota(jnp.int32, (bq, h * w), 1)
                 lane_yf = (lane // w).astype(jnp.float32)
@@ -171,7 +170,6 @@ def _flat_kernel_3d(qa_ref, v_ref, out_ref, *, shapes, lvl_idx, nlvl, d, m,
                     for pi in range(p)
                 )
                 segs.append(seg)
-                row_off += h * w
             w2d = jnp.concatenate(segs, axis=1).astype(jnp.bfloat16)
             acc = acc + jnp.dot(
                 w2d, v_ref[fi, mi].astype(jnp.bfloat16),
@@ -228,7 +226,10 @@ def ms_deform_attn_pallas_3d(
     out_spec = pl.BlockSpec(
         (1, bq, m * d), lambda ni, qi: (ni, qi, 0), memory_space=pltpu.VMEM
     )
-    out_shape = jax.ShapeDtypeStruct((n, nblk * bq, m * d), value.dtype)
+    # partials in f32: the cross-level sum must not round each level's
+    # contribution to the caller's (possibly bf16) dtype first — same
+    # invariant as the 2D forward; ONE cast at the end
+    out_shape = jax.ShapeDtypeStruct((n, nblk * bq, m * d), jnp.float32)
 
     out = None
     for lvl in sep_lvls:
@@ -283,4 +284,4 @@ def ms_deform_attn_pallas_3d(
         )(qa, v_f)
         out = part if out is None else out + part
 
-    return out[:, :q]
+    return out[:, :q].astype(value.dtype)

@@ -41,7 +41,14 @@ _B1, _B2, _EPS = 0.9, 0.999, 1e-8  # optax.adamw defaults
 
 
 class FlatAdamWState(NamedTuple):
-    count: jnp.ndarray  # [] int32
+    count: jnp.ndarray  # [] int32 Adam step count (bias correction)
+    # LR-schedule step count. Equal to ``count`` in normal operation, but
+    # seeded SEPARATELY on a weights-only resume (seed_schedule_step):
+    # torch restores the lr_scheduler at epoch E while Adam starts fresh —
+    # fast-forwarding the bias-correction counter with zero moments would
+    # make the first post-resume updates ~1/sqrt(1-b2)/(1-b1)-scale
+    # (~3.2x) instead of 1x.
+    sched: jnp.ndarray  # [] int32
     mu: jnp.ndarray     # [P_live] f32 (live params only — frozen moments
     nu: jnp.ndarray     # are identically zero and are not stored)
     # global grad norm of the LAST update (pre-clip, over all grads incl.
@@ -130,8 +137,8 @@ def make_flat_adamw(params, cfg: TrainConfig, steps_per_epoch: int = 1
 
     def init(params_):
         z = jnp.zeros((live_total,), jnp.float32)
-        return FlatAdamWState(
-            jnp.zeros((), jnp.int32), z, z, jnp.zeros((), jnp.float32))
+        zi = jnp.zeros((), jnp.int32)
+        return FlatAdamWState(zi, zi, z, z, jnp.zeros((), jnp.float32))
 
     def update(grads, state, params=None):
         if params is None:
@@ -150,7 +157,7 @@ def make_flat_adamw(params, cfg: TrainConfig, steps_per_epoch: int = 1
         mhat = mu / (1.0 - _B1 ** cf)
         nhat = nu / (1.0 - _B2 ** cf)
         adam = mhat / (jnp.sqrt(nhat) + _EPS)
-        lr_t = common(state.count)  # pre-increment, optax scale_by_schedule
+        lr_t = common(state.sched)  # pre-increment, optax scale_by_schedule
         aw = adam + wd * p
         # per-tier base LR: scalar * static contiguous slice (the former
         # full-width rel vector, without the [P] constant)
@@ -161,6 +168,7 @@ def make_flat_adamw(params, cfg: TrainConfig, steps_per_epoch: int = 1
             jnp.concatenate([jnp.zeros((frozen_len,), jnp.float32), upd_live])
             if frozen_len else upd_live
         )
-        return _unflatten(upd, grads), FlatAdamWState(c, mu, nu, gnorm)
+        return _unflatten(upd, grads), FlatAdamWState(
+            c, state.sched + 1, mu, nu, gnorm)
 
     return optax.GradientTransformation(init, update)

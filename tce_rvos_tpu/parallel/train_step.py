@@ -143,27 +143,33 @@ def base_lr_schedule(cfg: TrainConfig, steps_per_epoch: int = 1):
 
 
 def seed_schedule_step(state: TrainState, step: int) -> TrainState:
-    """Fast-forward the LR-schedule counters after a resume that carried no
-    optimizer state (reference-format torch .pth checkpoints). The reference
-    restores its lr_scheduler on resume (main.py:195-211), so MultiStep
-    ``lr_drop`` boundaries are measured from epoch 0 — not from the resume
-    point. In a FRESHLY-initialized optax/flat optimizer state every integer
-    scalar leaf is a step counter at 0 (ScaleByAdamState.count,
-    ScaleByScheduleState.count, FlatAdamWState.count); set them all, plus
-    ``TrainState.step``, to ``step``. Moment estimates stay zero — torch
-    Adam state is not portable to this layout (native_ckpt.py:78-80)."""
+    """Fast-forward ONLY the LR-schedule counters after a resume that
+    carried no optimizer state (reference-format torch .pth checkpoints).
+    The reference restores its lr_scheduler on resume (main.py:195-211) —
+    MultiStep ``lr_drop`` boundaries are measured from epoch 0, not from
+    the resume point — while its Adam starts FRESH (no optimizer state in
+    the checkpoint). The Adam step counters (ScaleByAdamState.count,
+    FlatAdamWState.count) must therefore stay 0: fast-forwarding the
+    bias-correction counter with zero moments would scale the first
+    post-resume updates by ~(1/(1-b1))/sqrt(1/(1-b2)) ≈ 3.2x. Only
+    ScaleByScheduleState.count / FlatAdamWState.sched (and
+    ``TrainState.step``) are seeded."""
+    from tce_rvos_tpu.parallel.flat_adamw import FlatAdamWState
+
     s = jnp.asarray(step, jnp.int32)
+    targets = (FlatAdamWState, optax.ScaleByScheduleState)
 
-    def leaf(x):
-        if (
-            hasattr(x, "dtype")
-            and getattr(x, "ndim", None) == 0
-            and jnp.issubdtype(x.dtype, jnp.integer)
-        ):
-            return s.astype(x.dtype)
-        return x
+    def fix(node):
+        if isinstance(node, FlatAdamWState):
+            return node._replace(sched=s)
+        if isinstance(node, optax.ScaleByScheduleState):
+            return node._replace(count=s.astype(node.count.dtype))
+        return node
 
-    return state.replace(opt_state=jax.tree.map(leaf, state.opt_state), step=s)
+    new_opt = jax.tree.map(
+        fix, state.opt_state, is_leaf=lambda n: isinstance(n, targets)
+    )
+    return state.replace(opt_state=new_opt, step=s)
 
 
 def make_train_step(

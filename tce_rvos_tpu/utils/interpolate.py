@@ -69,18 +69,6 @@ def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     return x
 
 
-def _linear_weights(out_size: int, in_size: int, align_corners: bool):
-    if align_corners and out_size > 1:
-        src = jnp.arange(out_size, dtype=jnp.float32) * ((in_size - 1) / (out_size - 1))
-    else:
-        src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (in_size / out_size) - 0.5
-    src = jnp.clip(src, 0.0, float(in_size - 1))
-    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
-    i1 = jnp.clip(i0 + 1, 0, in_size - 1)
-    w1 = src - i0.astype(jnp.float32)
-    return i0, i1, w1
-
-
 def _linear_matrix(out_size: int, in_size: int, align_corners: bool):
     """Dense [out, in] interpolation matrix (2 nonzeros per row) equivalent
     to the gather+lerp formulation — static, built host-side once per

@@ -159,12 +159,15 @@ def test_gnorm_matches_optax_global_norm():
 
 @pytest.mark.parametrize("flat", [True, False], ids=["flat", "chain"])
 def test_seed_schedule_step_matches_real_steps(flat):
-    """Resume-from-torch-.pth semantics: seed_schedule_step(N) must put the
-    optimizer in the same state as actually taking N steps with zero grads
-    (count advanced, moments still zero) — so the MultiStep lr_drop
-    boundaries count from epoch 0, as the reference's restored lr_scheduler
-    does (main.py:195-211). N is chosen PAST a drop boundary so a wrong
-    (unseeded) count would apply a 10x-too-high LR."""
+    """Resume-from-torch-.pth semantics (reference main.py:195-211): the
+    lr_scheduler is restored at epoch E (MultiStep lr_drop boundaries count
+    from epoch 0) while Adam starts FRESH — the weights-only checkpoint
+    carries no optimizer state, so torch's bias-correction counter is 0.
+    seed_schedule_step(N) must therefore produce updates equal to a fresh
+    optimizer's first step scaled by lr(N)/lr(0) — NOT equal to N zero-grad
+    steps, which would fast-forward the bias-correction counter and make
+    the first update ~3.2x too large. N is chosen PAST a drop boundary so
+    an unseeded schedule would apply a 10x-too-high LR."""
     from tce_rvos_tpu.parallel.train_step import (
         TrainState, seed_schedule_step)
 
@@ -172,14 +175,9 @@ def test_seed_schedule_step_matches_real_steps(flat):
     rng = np.random.default_rng(4)
     params = _params(rng)
     steps_per_epoch = 2
-    n = 4  # past the first drop (epoch 1 -> step 2)
+    n = 4  # past the first drop (epoch 1 -> step 2): lr(n) = 0.1 * lr(0)
     tx = (make_flat_adamw(params, cfg, steps_per_epoch) if flat
           else make_optimizer(params, cfg, steps_per_epoch))
-
-    stepped = tx.init(params)
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    for _ in range(n):
-        _, stepped = tx.update(zeros, stepped, params)
 
     seeded = seed_schedule_step(
         TrainState(params=params, frozen={}, opt_state=tx.init(params),
@@ -187,11 +185,49 @@ def test_seed_schedule_step_matches_real_steps(flat):
         n,
     )
     assert int(seeded.step) == n
+    if flat:
+        assert int(seeded.opt_state.count) == 0   # Adam fresh
+        assert int(seeded.opt_state.sched) == n   # schedule advanced
 
     g = _grad_seq(params, rng, 1)[0]
-    upd_a, _ = tx.update(g, stepped, params)
-    upd_b, _ = tx.update(g, seeded.opt_state, params)
-    _assert_traj_close([upd_a], [upd_b])
+    upd_fresh, _ = tx.update(g, tx.init(params), params)
+    upd_seeded, _ = tx.update(g, seeded.opt_state, params)
+    # identical Adam state (count 0, zero moments) => the update vectors
+    # differ EXACTLY by the schedule ratio lr(n)/lr(0) = 0.1
+    scaled = jax.tree.map(lambda u: 0.1 * u, upd_fresh)
+    _assert_traj_close([scaled], [upd_seeded])
+
+
+@pytest.mark.parametrize("flat", [True, False], ids=["flat", "chain"])
+def test_seeded_resume_agrees_across_optimizers(flat):
+    """The flat and chain optimizers must produce the same post-seed
+    trajectory (both emulate torch's fresh-Adam + restored-scheduler)."""
+    from tce_rvos_tpu.parallel.train_step import (
+        TrainState, seed_schedule_step)
+
+    cfg = TrainConfig(lr_drop=(1, 3), flat_opt=flat)
+    rng = np.random.default_rng(11)
+    params = _params(rng)
+    n = 4
+    tx_f = make_flat_adamw(params, cfg, 2)
+    tx_c = make_optimizer(params, cfg, 2)
+
+    def seeded(tx):
+        return seed_schedule_step(
+            TrainState(params=params, frozen={}, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32)),
+            n,
+        ).opt_state
+
+    grads = _grad_seq(params, rng, 3)
+    sf, sc = seeded(tx_f), seeded(tx_c)
+    pf = pc = params
+    for g in grads:
+        uf, sf = tx_f.update(g, sf, pf)
+        uc, sc = tx_c.update(g, sc, pc)
+        pf = optax.apply_updates(pf, uf)
+        pc = optax.apply_updates(pc, uc)
+    _assert_traj_close([pf], [pc])
 
 
 def test_opt_layout_mismatch_names_the_flag(tmp_path):
@@ -237,7 +273,8 @@ def test_restore_train_state_seeds_schedule_without_opt_state(tmp_path):
     state, start_epoch = restore_train_state(
         fresh(), str(tmp_path / "bare"), None, steps_per_epoch)
     assert start_epoch == 3
-    assert int(state.opt_state.count) == 3 * steps_per_epoch
+    assert int(state.opt_state.sched) == 3 * steps_per_epoch
+    assert int(state.opt_state.count) == 0  # Adam starts fresh (torch)
     assert int(state.step) == 3 * steps_per_epoch
 
     # opt_state present -> restored verbatim, step from meta
