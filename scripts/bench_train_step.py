@@ -64,7 +64,8 @@ def main():
         np.stack([base + rng.randn(*base.shape).astype(np.float32) * 0.01
                   for _ in range(K)])
     )  # [K, 1, T, H, W, 3]
-    rngs_k = jax.random.split(jax.random.PRNGKey(0), K)
+    rng_impl = sys.argv[4] if len(sys.argv) > 4 else "threefry2x32"
+    rngs_k = jax.random.split(jax.random.key(0, impl=rng_impl), K)
 
     print("compiling train step...", flush=True)
     t0 = time.perf_counter()

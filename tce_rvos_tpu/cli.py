@@ -116,6 +116,11 @@ def add_data_args(p: argparse.ArgumentParser):
                    action=argparse.BooleanOptionalAction,
                    help="fused flat AdamW (parallel/flat_adamw.py); "
                         "--no-flat_opt selects the per-leaf optax chain")
+    p.add_argument("--dropout_rng_impl", default="unsafe_rbg",
+                   choices=["unsafe_rbg", "rbg", "threefry2x32"],
+                   help="dropout PRNG: unsafe_rbg uses the TPU hardware "
+                        "bit generator (fast); threefry2x32 is jax's "
+                        "key-derived default")
     p.add_argument("--output_dir", default="output")
     p.add_argument("--resume", default="")
     p.add_argument("--ckpt_backend", default="msgpack",

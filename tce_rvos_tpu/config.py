@@ -164,6 +164,16 @@ class TrainConfig:
 
     seed: int = 42
 
+    # PRNG implementation for the training-time dropout stream.
+    # "unsafe_rbg" routes mask generation through the TPU's hardware
+    # RngBitGenerator instead of computing threefry2x32 in VPU ops — the
+    # flagship step generates ~200M dropout bits (FFN masks are
+    # [25600, 2048] per encoder layer) and with remat the threefry work is
+    # re-executed in the backward. Statistically identical dropout;
+    # trajectories differ from threefry only in which bits are dropped.
+    # Set "threefry2x32" for jax's default key-derived determinism.
+    dropout_rng_impl: str = "unsafe_rbg"
+
 
 @dataclasses.dataclass(frozen=True)
 class DataConfig:

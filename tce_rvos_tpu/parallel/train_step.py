@@ -120,8 +120,8 @@ def create_train_state(variables, cfg: TrainConfig, steps_per_epoch: int = 1):
     params = variables["params"]
     frozen = {k: v for k, v in variables.items() if k != "params"}
     if cfg.flat_opt:
-        from tce_rvos_tpu.parallel.flat_adamw import make_flat_adamw
-        tx = make_flat_adamw(params, cfg, steps_per_epoch)
+        from tce_rvos_tpu.parallel.flat_adamw import make_flat_adamw_fused
+        tx = make_flat_adamw_fused(params, cfg, steps_per_epoch)
     else:
         tx = make_optimizer(params, cfg, steps_per_epoch)
     return TrainState(
@@ -225,8 +225,16 @@ def make_train_step(
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.frozen, batch, rng
         )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        if hasattr(tx, "apply_params"):
+            # fused flat AdamW: new params come out directly (weight decay
+            # and per-tier LR folded into per-leaf fused kernels — no
+            # full-width params flatten / update unflatten, see
+            # flat_adamw.make_flat_adamw_fused)
+            new_params, new_opt = tx.apply_params(
+                grads, state.opt_state, state.params)
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["loss"] = total
         # the flat optimizer already reduced the global norm in one

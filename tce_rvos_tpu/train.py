@@ -147,7 +147,9 @@ def main(argv=None):
     print("git:", os.popen("git rev-parse --short HEAD 2>/dev/null").read().strip())
     print(args)
 
-    rng = jax.random.PRNGKey(train_cfg.seed + jax.process_index())
+    rng = jax.random.key(
+        train_cfg.seed + jax.process_index(), impl=train_cfg.dropout_rng_impl
+    )
 
     # ---- model ----
     model = build_model(model_cfg)

@@ -335,3 +335,68 @@ def test_update_captures_no_large_constants():
         if hasattr(c, "nbytes") and c.nbytes > 1024
     ]
     assert not big, [(type(c), getattr(c, "shape", None)) for c in big]
+
+
+@pytest.mark.parametrize(
+    "cfg_kw, grad_scale",
+    [
+        (dict(lr_drop=(1, 3)), 0.01),
+        (dict(lr_drop=(1, 3)), 10.0),
+        (dict(cyclic_lr=True, cyclic_lr_boundary=(1e-5, 1e-4)), 0.01),
+        (dict(pretrain_enc=True, lr_drop=(1, 3)), 10.0),
+        (dict(freeze_text_encoder=True, lr_drop=(1, 3)), 10.0),
+    ],
+    ids=["multistep", "clipped", "cyclic", "pretrain_enc", "freeze_text"],
+)
+def test_fused_apply_matches_update_apply(cfg_kw, grad_scale):
+    """make_flat_adamw_fused (new params out, per-leaf fused apply) must
+    track make_flat_adamw + optax.apply_updates exactly: same state, same
+    trajectory; frozen leaves bit-identical passthrough."""
+    from tce_rvos_tpu.parallel.flat_adamw import make_flat_adamw_fused
+
+    cfg = TrainConfig(**cfg_kw)
+    rng = np.random.default_rng(0)
+    params = _params(rng)
+    steps_per_epoch = 2
+    grads = _grad_seq(params, rng, 8, scale=grad_scale)
+
+    ref = _run(make_flat_adamw(params, cfg, steps_per_epoch), params, grads)
+
+    tx = make_flat_adamw_fused(params, cfg, steps_per_epoch)
+    state = tx.init(params)
+    p = params
+    out = []
+    for g in grads:
+        p, state = tx.apply_params(g, state, p)
+        out.append(p)
+    _assert_traj_close(ref, out)
+
+    if cfg_kw.get("pretrain_enc") or cfg_kw.get("freeze_text_encoder"):
+        # frozen tier: apply_params must pass leaves through BIT-identical
+        frozen_keys = (
+            ("backbone", "text_encoder", "class_head")
+            if cfg_kw.get("pretrain_enc") else ("text_encoder",)
+        )
+        for k in frozen_keys:
+            for a, b in zip(jax.tree.leaves(params[k]),
+                            jax.tree.leaves(out[-1][k])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_apply_captures_no_large_constants():
+    from tce_rvos_tpu.parallel.flat_adamw import make_flat_adamw_fused
+
+    cfg = TrainConfig(pretrain_enc=True)
+    rng = np.random.default_rng(5)
+    params = _params(rng)
+    tx = make_flat_adamw_fused(params, cfg, 2)
+    state = tx.init(params)
+    g = _grad_seq(params, rng, 1)[0]
+    jaxpr = jax.make_jaxpr(lambda gr, st, p: tx.apply_params(gr, st, p))(
+        g, state, params
+    )
+    big = [
+        c for c in jaxpr.consts
+        if hasattr(c, "nbytes") and c.nbytes > 1024
+    ]
+    assert not big, [(type(c), getattr(c, "shape", None)) for c in big]
