@@ -400,3 +400,31 @@ def test_fused_apply_captures_no_large_constants():
         if hasattr(c, "nbytes") and c.nbytes > 1024
     ]
     assert not big, [(type(c), getattr(c, "shape", None)) for c in big]
+
+
+def test_dropout_rng_impl_statistics():
+    """The default training dropout stream (TrainConfig.dropout_rng_impl,
+    'unsafe_rbg' = TPU hardware RngBitGenerator — measured 53 ms/step
+    cheaper than threefry at flagship size, BASELINE.md round-3) must
+    produce correct-rate, key-dependent masks, and split/fold_in must work
+    on the typed keys (flax's make_rng folds per call site)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tce_rvos_tpu.config import TrainConfig
+
+    impl = TrainConfig().dropout_rng_impl
+
+    @jax.jit
+    def stats(k):
+        k1, k2 = jax.random.split(k)
+        k3 = jax.random.fold_in(k1, 7)
+        m1 = jax.random.bernoulli(k1, 0.9, (256, 2048))
+        m2 = jax.random.bernoulli(k2, 0.9, (256, 2048))
+        m3 = jax.random.bernoulli(k3, 0.9, (256, 2048))
+        return m1.mean(), m2.mean(), m3.mean(), (m1 != m2).any(), (m1 != m3).any()
+
+    r1, r2, r3, d12, d13 = stats(jax.random.key(0, impl=impl))
+    for r in (r1, r2, r3):
+        assert abs(float(r) - 0.9) < 0.01, f"keep-rate off: {float(r)}"
+    assert bool(d12) and bool(d13), "split/fold_in keys must give distinct streams"

@@ -176,3 +176,4 @@ def test_mixed_precision_train_step():
     assert abs(float(m16["loss"]) - float(m32["loss"])) < 0.05 * max(
         abs(float(m32["loss"])), 1.0
     )
+
