@@ -40,7 +40,7 @@ def main():
         "masks": jnp.asarray((rng.rand(1, T, H, W) > 0.5).astype(np.float32)),
         "valid": jnp.ones((1, T), jnp.int32),
     }
-    r = jax.random.PRNGKey(0)
+    r = jax.random.key(0, impl=tcfg.dropout_rng_impl)
 
     @jax.jit
     def one(state, batch, r):

@@ -100,15 +100,27 @@ def _bwd_q_kernel_sep(
     ys_wide = (
         jax.lax.broadcasted_iota(jnp.int32, (bq, hb * d), 1) // d
     ).astype(jnp.float32) + band_f
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hb * d, d), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (hb * d, d), 1)
-    fold = (rows % d == cols).astype(jnp.bfloat16)
+    # g expanded to y-major lanes (g_wide[q, y*D + c] = g[q, c]) via a 0/1
+    # matmul, as in the dv kernel. With it, every <g, fold(.)> contraction
+    # collapses: <g, fold(s1 * wy)> = rowsum_l(s1 * wy * g_wide)
+    #   = rowsum_x(wx * ((wy * g_wide) @ v_t^T)),
+    # so the per-point fold matmuls ([BQ, HB*D] @ [HB*D, D], 3 per point)
+    # and the bf16-rounded s1/ds1 intermediates disappear; the two
+    # remaining matmuls per point contract over the WIDE axis (K = HB*D)
+    # and emit narrow [BQ, W] tiles whose rowsums are cheap.
+    erows = jax.lax.broadcasted_iota(jnp.int32, (d, hb * d), 0)
+    ecols = jax.lax.broadcasted_iota(jnp.int32, (d, hb * d), 1)
+    expand = (erows == ecols % d).astype(jnp.bfloat16)      # [D, HB*D]
+    dn_t = (((1,), (1,)), ((), ()))  # contract lanes with lanes (rhs^T)
 
     for mi in range(m):
         qa_t = qa_ref[0, mi]
         loc_t = qa_t[:, : nlvl * p * 2]
         attn_t = qa_t[:, nlvl * p * 2 :]
         g = g_ref[0, mi].astype(jnp.bfloat16)       # [BQ, D]
+        g_wide = jnp.dot(
+            g, expand, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)                      # [BQ, HB*D]
         if banded:
             off = pl.multiple_of(band * d, 128)
             v_t = v_ref[0, mi, :, pl.ds(off, hb * d)].astype(jnp.bfloat16)
@@ -124,26 +136,19 @@ def _bwd_q_kernel_sep(
 
             wx, dwx = _lin_weight(xs, px)           # [BQ, W]
             wy, dwy = _lin_weight(ys_wide, py)      # [BQ, HB*D]
-            wy = wy.astype(jnp.bfloat16)
 
-            s1 = jnp.dot(
-                wx.astype(jnp.bfloat16), v_t, preferred_element_type=jnp.float32
-            ).astype(jnp.bfloat16)                  # [BQ, HB*D]
-            ds1 = jnp.dot(
-                dwx.astype(jnp.bfloat16), v_t, preferred_element_type=jnp.float32
-            ).astype(jnp.bfloat16)
-
-            tap = jnp.dot(s1 * wy, fold, preferred_element_type=jnp.float32)
-            tap_dx = jnp.dot(ds1 * wy, fold, preferred_element_type=jnp.float32)
-            tap_dy = jnp.dot(
-                s1 * dwy.astype(jnp.bfloat16), fold,
-                preferred_element_type=jnp.float32,
+            u = wy.astype(jnp.bfloat16) * g_wide    # [BQ, HB*D]
+            du = dwy.astype(jnp.bfloat16) * g_wide
+            t = jax.lax.dot_general(
+                u, v_t, dn_t, preferred_element_type=jnp.float32
+            )                                       # [BQ, W]
+            t_dy = jax.lax.dot_general(
+                du, v_t, dn_t, preferred_element_type=jnp.float32
             )
 
-            gf = g.astype(jnp.float32)
-            dattn_cols.append(jnp.sum(gf * tap, axis=1, keepdims=True))
-            dloc_cols.append(a * jnp.sum(gf * tap_dx, axis=1, keepdims=True) * w)
-            dloc_cols.append(a * jnp.sum(gf * tap_dy, axis=1, keepdims=True) * h)
+            dattn_cols.append(jnp.sum(wx * t, axis=1, keepdims=True))
+            dloc_cols.append(a * jnp.sum(dwx * t, axis=1, keepdims=True) * w)
+            dloc_cols.append(a * jnp.sum(wx * t_dy, axis=1, keepdims=True) * h)
 
         dloc_ref[0, mi] = jnp.concatenate(dloc_cols, axis=1).astype(dloc_ref.dtype)
         dattn_ref[0, mi] = jnp.concatenate(dattn_cols, axis=1).astype(dattn_ref.dtype)
@@ -253,11 +258,16 @@ def _bwd_q_kernel_flat(
     for hh, ww in shapes:
         starts.append(starts[-1] + hh * ww)
 
+    # vg[q, s] = <g[q, :], V[s, :]> — ONE rhs-transposed matmul per
+    # (head, level) replaces the THREE tap matmuls per (head, level, point):
+    # <g, (wx*wy) @ V> = rowsum_s(wx * wy * vg), etc.
+    dn_t = (((1,), (1,)), ((), ()))
+
     for mi in range(m):
         qa_t = qa_ref[0, mi]
         loc_t = qa_t[:, : nlvl * p * 2]
         attn_t = qa_t[:, nlvl * p * 2 :]
-        g = g_ref[0, mi].astype(jnp.float32)
+        g = g_ref[0, mi].astype(jnp.bfloat16)
 
         dloc_cols = []
         dattn_cols = []
@@ -274,6 +284,9 @@ def _bwd_q_kernel_flat(
                 vi = v_ref[0, mi, starts[li] : starts[li + 1], :].astype(
                     jnp.bfloat16
                 )
+            vg = jax.lax.dot_general(
+                g, vi, dn_t, preferred_element_type=jnp.float32
+            )                                               # [BQ, nrow*w]
             lane = jax.lax.broadcasted_iota(jnp.int32, (bq, nrow * w), 1)
             lane_y = (lane // w).astype(jnp.float32) + y_base
             lane_x = (lane % w).astype(jnp.float32)
@@ -283,21 +296,13 @@ def _bwd_q_kernel_flat(
                 a = attn_t[:, lvl * p + pi : lvl * p + pi + 1]
                 wx, dwx = _lin_weight(lane_x, px)
                 wy, dwy = _lin_weight(lane_y, py)
-                tap = jnp.dot(
-                    (wx * wy).astype(jnp.bfloat16), vi,
-                    preferred_element_type=jnp.float32,
-                )                                           # [BQ, D]
-                tap_dx = jnp.dot(
-                    (dwx * wy).astype(jnp.bfloat16), vi,
-                    preferred_element_type=jnp.float32,
-                )
-                tap_dy = jnp.dot(
-                    (wx * dwy).astype(jnp.bfloat16), vi,
-                    preferred_element_type=jnp.float32,
-                )
-                dattn_cols.append(jnp.sum(g * tap, axis=1, keepdims=True))
-                dloc_cols.append(a * jnp.sum(g * tap_dx, axis=1, keepdims=True) * w)
-                dloc_cols.append(a * jnp.sum(g * tap_dy, axis=1, keepdims=True) * h)
+                wyvg = wy * vg
+                dattn_cols.append(
+                    jnp.sum(wx * wyvg, axis=1, keepdims=True))
+                dloc_cols.append(
+                    a * jnp.sum(dwx * wyvg, axis=1, keepdims=True) * w)
+                dloc_cols.append(
+                    a * jnp.sum((wx * vg) * dwy, axis=1, keepdims=True) * h)
 
         dloc_ref[0, mi] = jnp.concatenate(dloc_cols, axis=1).astype(dloc_ref.dtype)
         dattn_ref[0, mi] = jnp.concatenate(dattn_cols, axis=1).astype(dattn_ref.dtype)
