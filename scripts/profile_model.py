@@ -35,6 +35,8 @@ def main():
     with jax.profiler.trace(tmp):
         for _ in range(reps):
             jax.block_until_ready(fwd(variables, **inputs))
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from _timeline import load_tpu_events, print_breakdown, self_time_aggregate
 
     total, agg = self_time_aggregate(load_tpu_events(tmp), reps)

@@ -43,6 +43,8 @@ def main():
         if m:
             hlo_defs[m.group(1)] = m.group(2)[:240]
 
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from _timeline import load_tpu_events, self_time_aggregate
 
     jax.block_until_ready(fwd(variables, **inputs))

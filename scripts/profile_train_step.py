@@ -55,6 +55,8 @@ def main():
         for _ in range(reps):
             st, loss = one(state, batch, r)
             jax.block_until_ready(loss)
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from _timeline import load_tpu_events, print_breakdown, self_time_aggregate
 
     total, agg = self_time_aggregate(load_tpu_events(tmp), reps)
