@@ -5,6 +5,10 @@ import sys
 import tempfile
 
 import jax
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,8 +39,6 @@ def main():
     with jax.profiler.trace(tmp):
         for _ in range(reps):
             jax.block_until_ready(fwd(variables, **inputs))
-    import os, sys
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from _timeline import load_tpu_events, print_breakdown, self_time_aggregate
 
     total, agg = self_time_aggregate(load_tpu_events(tmp), reps)

@@ -8,6 +8,10 @@ import sys
 import tempfile
 
 import jax
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,8 +59,6 @@ def main():
         for _ in range(reps):
             st, loss = one(state, batch, r)
             jax.block_until_ready(loss)
-    import os, sys
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from _timeline import load_tpu_events, print_breakdown, self_time_aggregate
 
     total, agg = self_time_aggregate(load_tpu_events(tmp), reps)

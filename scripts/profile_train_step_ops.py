@@ -8,6 +8,10 @@ import sys
 import tempfile
 
 import jax
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,8 +62,6 @@ def main():
         if m:
             hlo_defs[m.group(1)] = m.group(2)[:240]
 
-    import os, sys
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from _timeline import load_tpu_events, self_time_aggregate
 
     st, loss = one(state, batch, r)
