@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -27,6 +28,53 @@ def get_activation(name: str) -> Callable:
     if name == "glu":
         return nn.glu
     raise ValueError(f"activation should be relu/gelu/glu, not {name}")
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with layout-native statistics for NHWC tensors.
+
+    ``nn.GroupNorm`` reshapes the operand to ``[..., G, C//G]`` and reduces
+    spatial+channel-in-group in one pass; at FPN sizes XLA lowers that with
+    transposed ``{3,1,2,0}`` layouts plus an explicit relayout copy (the
+    device profile showed ~1.8 ms of GN-stat fusions + a 0.25 ms copy at
+    [5,96,160,256]).  This computes the *same* statistics (flax's
+    E[x^2]-E[x]^2 fast-variance form, f32 accumulation) in two
+    layout-native steps: per-channel sum / sum-of-squares reduced over the
+    leading spatial axes — a lane-preserving column reduction — then the
+    trivial ``[N, G]`` group combine; one fused elementwise pass applies the
+    folded scale/shift.  Parameter names ('scale', 'bias'), shapes, and the
+    flax default epsilon match ``nn.GroupNorm`` so checkpoints are
+    interchangeable.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, (c, g)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        n = x.shape[0]
+        xf = x.astype(jnp.float32)
+        red = tuple(range(1, x.ndim - 1))
+        s1 = xf.sum(axis=red)            # [N, C]
+        s2 = (xf * xf).sum(axis=red)     # [N, C] (sibling reduce: one pass)
+        count = (x.size // (n * c)) * (c // g)
+        mean = s1.reshape(n, g, c // g).sum(-1) / count        # [N, G]
+        mean2 = s2.reshape(n, g, c // g).sum(-1) / count
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        # fold group stats with the per-channel affine -> y = x*mul + add
+        mean_c = jnp.repeat(mean, c // g, axis=-1)             # [N, C]
+        rstd_c = jnp.repeat(rstd, c // g, axis=-1)
+        mul = rstd_c * scale.astype(jnp.float32)[None, :]
+        add = bias.astype(jnp.float32)[None, :] - mean_c * mul
+        bshape = (n,) + (1,) * (x.ndim - 2) + (c,)
+        y = xf * mul.reshape(bshape) + add.reshape(bshape)
+        return y.astype(x.dtype)
 
 
 class MLP(nn.Module):

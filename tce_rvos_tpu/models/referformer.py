@@ -26,7 +26,7 @@ from tce_rvos_tpu.models.dynamic_head import (
     dynamic_head_param_counts,
     dynamic_mask_with_coords,
 )
-from tce_rvos_tpu.models.layers import MLP, FeatureResizer
+from tce_rvos_tpu.models.layers import MLP, FeatureResizer, GroupNorm
 from tce_rvos_tpu.models.position_encoding import sine_pos_1d, sine_pos_2d
 from tce_rvos_tpu.models.segmentation import (
     CrossModalFPNDecoder,
@@ -63,7 +63,7 @@ class InputProj(nn.Module):
             )(x)
         else:
             x = nn.Conv(self.hidden_dim, (1, 1), kernel_init=xavier, name="conv")(x)
-        return nn.GroupNorm(num_groups=32, name="norm")(x)
+        return GroupNorm(num_groups=32, name="norm")(x)
 
 
 def build_backbone_module(cfg: ModelConfig):

@@ -20,7 +20,12 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tce_rvos_tpu.models.layers import MultiheadAttention, get_activation, with_pos
+from tce_rvos_tpu.models.layers import (
+    GroupNorm,
+    MultiheadAttention,
+    get_activation,
+    with_pos,
+)
 from tce_rvos_tpu.utils.interpolate import resize_bilinear, resize_nearest
 
 xavier = nn.initializers.xavier_uniform()
@@ -156,7 +161,7 @@ class ConvGN(nn.Module):
             name="conv",
         )(x)
         if self.norm:
-            x = nn.GroupNorm(num_groups=8, name="norm")(x)
+            x = GroupNorm(num_groups=8, name="norm")(x)
         if self.act:
             x = nn.relu(x)
         return x

@@ -152,3 +152,32 @@ def test_pallas_impl_param_tree_matches_xla():
             v = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
         trees[impl] = jax.tree_util.tree_map(lambda x: x.shape, v)
     assert trees["xla"] == trees["pallas"]
+
+
+def test_group_norm_matches_flax():
+    """models/layers.py::GroupNorm computes nn.GroupNorm's statistics with
+    layout-native reductions; outputs must agree (f32 exactly, bf16 to one
+    ulp — ours normalizes in f32)."""
+    from flax import linen as nn
+
+    from tce_rvos_tpu.models.layers import GroupNorm
+
+    key = jax.random.PRNGKey(3)
+    for shape, g in [((2, 12, 20, 256), 8), ((3, 7, 9, 64), 32)]:
+        x = jax.random.normal(key, shape, jnp.float32) * 3 + 1.7
+        ref = nn.GroupNorm(num_groups=g)
+        new = GroupNorm(num_groups=g)
+        variables = ref.init(key, x)
+        variables = jax.tree.map(
+            lambda a: a + jax.random.normal(key, a.shape) * 0.3, variables
+        )
+        np.testing.assert_allclose(
+            ref.apply(variables, x), new.apply(variables, x), atol=5e-5
+        )
+        xb = x.astype(jnp.bfloat16)
+        vb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), variables)
+        np.testing.assert_allclose(
+            ref.apply(vb, xb).astype(np.float32),
+            new.apply(vb, xb).astype(np.float32),
+            atol=3e-2,
+        )
