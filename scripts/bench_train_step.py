@@ -2,18 +2,21 @@
 
 Measures the full jitted train step (forward + criterion + backward +
 AdamW update) at the flagship training shape (batch 1, 5 frames, 384x640).
-The MSDA backward currently routes through the XLA gather VJP
-(ops/pallas_msda.py) — this benchmark is the measured cost of that choice.
+The MSDA backward is the analytic banded Pallas backward
+(ops/pallas_msda_bwd.py) when msda_impl=pallas (the default).
 
-Usage: python scripts/bench_train_step.py [msda_impl] [K]
+Usage: python scripts/bench_train_step.py [msda_impl] [K] [dtype]
 """
 
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 T, H, W = 5, 384, 640
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 4

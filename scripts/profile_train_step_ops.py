@@ -64,13 +64,16 @@ def main():
 
     from _timeline import load_tpu_events, self_time_aggregate
 
-    st, loss = one(state, batch, r)
+    # execute through the ALREADY-compiled executable — re-calling one()
+    # would compile the program a second time (minutes through the
+    # remote-compile tunnel)
+    st, loss = compiled(state, batch, r)
     jax.block_until_ready(loss)
     tmp = tempfile.mkdtemp()
     reps = 3
     with jax.profiler.trace(tmp):
         for _ in range(reps):
-            st, loss = one(state, batch, r)
+            st, loss = compiled(state, batch, r)
             jax.block_until_ready(loss)
     total, agg = self_time_aggregate(load_tpu_events(tmp), reps, keep_ids=True)
     print(f"=== top individual ops ({impl}/{dtype}; device {total:.2f} ms/step) ===")
