@@ -8,7 +8,7 @@ protocol (bf16, 5x384x640 clips, K-clip lax.scan to amortize dispatch) so
 the perf story covers every shipped config.
 
 Usage: python scripts/bench_backbones.py [backbone ...]
-       (default: resnet50 video_swin_t video_swin_s)
+       (default: resnet50 video_swin_t_p4w7 video_swin_s_p4w7)
 Prints one JSON line per backbone.
 """
 
@@ -83,7 +83,9 @@ def bench_one(backbone: str) -> dict:
 
 
 def main():
-    backbones = sys.argv[1:] or ["resnet50", "video_swin_t", "video_swin_s"]
+    backbones = sys.argv[1:] or [
+        "resnet50", "video_swin_t_p4w7", "video_swin_s_p4w7"
+    ]
     for name in backbones:
         print(json.dumps(bench_one(name)), flush=True)
 
