@@ -1,8 +1,8 @@
 """Flagship inference throughput across the reference's flagship backbones.
 
 The reference's shipped scripts name THREE flagship backbones: resnet50
-(scripts/dist_train_test_ytvos_new.sh), video_swin_t and video_swin_s
-(scripts/dist_test_davis.sh, scripts/inf_a2d.sh). bench.py measures the
+(scripts/dist_train_test_ytvos_new.sh), video_swin_t_p4w7 and
+video_swin_s_p4w7 (scripts/dist_test_davis.sh, scripts/inf_jhmdb.sh). bench.py measures the
 resnet50 headline; this sweep measures all of them under the identical
 protocol (bf16, 5x384x640 clips, K-clip lax.scan to amortize dispatch) so
 the perf story covers every shipped config.

@@ -162,31 +162,57 @@ class RandomSizeCrop(ClipTransform):
         return frames, target
 
 
+_LIGHTING_PERMS = (
+    (0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)
+)
+
+
 class PhotometricDistort(ClipTransform):
-    """Brightness/contrast/saturation/hue jitter shared across the clip
-    (transforms_video.py:396-421 semantics, cv2-based)."""
+    """Per-frame brightness/contrast/saturation/hue jitter + channel-swap
+    lighting noise, matching the reference's stochastic structure
+    (transforms_video.py:396-421): every parameter is drawn FRESH for each
+    frame, each sub-op fires with independent p=0.5, one of the two contrast
+    ops (before vs after the HSV block) is chosen at random per frame, and
+    RandomLightingNoise applies a random channel permutation.
+
+    Deliberate deviations from the reference (documented, not silent):
+      * we operate on float RGB in [0, 1] end to end — the reference
+        round-trips through uint8 (``astype('uint8')``), whose numpy cast
+        WRAPS out-of-range values modulo 256 (a defect, not a feature);
+        we clip instead;
+      * the reference converts with cv2.COLOR_BGR2HSV while its arrays are
+        actually RGB (PIL order), silently computing hue on swapped
+        channels; we use the correct RGB<->HSV conversion.
+    """
 
     def __init__(self, rng: Optional[random.Random] = None):
         self.rng = rng or random
 
-    def __call__(self, frames, target):
+    def _distort_frame(self, x: np.ndarray) -> np.ndarray:
         import cv2
 
         r = self.rng
-        brightness = r.uniform(-32.0 / 255, 32.0 / 255) if r.random() < 0.5 else 0.0
-        contrast = r.uniform(0.5, 1.5) if r.random() < 0.5 else 1.0
-        saturation = r.uniform(0.5, 1.5) if r.random() < 0.5 else 1.0
-        hue = r.uniform(-18.0, 18.0) if r.random() < 0.5 else 0.0
-        out = []
-        for f in frames:
-            x = f.astype(np.float32)
-            x = (x + brightness) * contrast
-            hsv = cv2.cvtColor(x.clip(0, 1), cv2.COLOR_RGB2HSV)
-            hsv[..., 1] *= saturation
-            hsv[..., 0] = (hsv[..., 0] + hue) % 360.0
-            x = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
-            out.append(x.clip(0.0, 1.0))
-        return out, target
+        # RandomBrightness (delta scaled from the reference's 0..255 range)
+        if r.random() < 0.5:
+            x = x + r.uniform(-32.0 / 255, 32.0 / 255)
+        contrast_first = r.random() < 0.5
+        if contrast_first and r.random() < 0.5:
+            x = x * r.uniform(0.5, 1.5)
+        hsv = cv2.cvtColor(x.clip(0.0, 1.0), cv2.COLOR_RGB2HSV)
+        if r.random() < 0.5:  # RandomSaturation
+            hsv[..., 1] *= r.uniform(0.5, 1.5)
+        if r.random() < 0.5:  # RandomHue
+            hsv[..., 0] = (hsv[..., 0] + r.uniform(-18.0, 18.0)) % 360.0
+        x = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+        if (not contrast_first) and r.random() < 0.5:
+            x = x * r.uniform(0.5, 1.5)
+        if r.random() < 0.5:  # RandomLightingNoise
+            swap = _LIGHTING_PERMS[r.randrange(len(_LIGHTING_PERMS))]
+            x = x[:, :, swap]
+        return x.clip(0.0, 1.0)
+
+    def __call__(self, frames, target):
+        return [self._distort_frame(f.astype(np.float32)) for f in frames], target
 
 
 class Normalize(ClipTransform):

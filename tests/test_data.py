@@ -294,3 +294,35 @@ def test_node_sharded_sampler_per_node_ownership():
     a = list(s0)
     s0.set_epoch(1)
     assert list(s0) != a
+
+
+def test_photometric_distort_structure():
+    """Reference stochastic structure (transforms_video.py:396-421): jitter
+    parameters are drawn fresh PER FRAME (not once per clip), and the
+    lighting-noise channel permutation actually fires. Seeded, so the
+    assertions are deterministic."""
+    import random as _random
+
+    from tce_rvos_tpu.data.transforms import PhotometricDistort
+
+    rng = _random.Random(0)
+    t = PhotometricDistort(rng=rng)
+    # constant grey clip: any applied jitter shows up as a per-frame shift
+    frames = [np.full((8, 8, 3), 0.5, np.float32) for _ in range(16)]
+    out, _ = t(frames, {})
+    assert all(f.shape == (8, 8, 3) for f in out)
+    assert all(f.min() >= 0.0 and f.max() <= 1.0 for f in out)
+    # per-frame draws: with 16 frames and p=0.5 brightness/contrast, the
+    # per-frame means must NOT all be equal (a clip-level draw would shift
+    # every frame identically)
+    means = np.array([f.mean() for f in out])
+    assert means.std() > 1e-4, means
+    # channel-swap lighting noise: distinguishable on a channel-asymmetric
+    # frame — over 64 seeded frames at p=0.5 some permutation must fire
+    base = np.zeros((4, 4, 3), np.float32)
+    base[..., 0] = 0.9  # red-dominant
+    rng2 = _random.Random(1)
+    t2 = PhotometricDistort(rng=rng2)
+    out2, _ = t2([base.copy() for _ in range(64)], {})
+    swapped = sum(1 for f in out2 if f[..., 0].mean() < f[..., 1:].mean(axis=(0, 1)).max())
+    assert swapped > 0
