@@ -35,18 +35,30 @@ class CocoDetection:
         """GT annotations in eval.coco_eval.CocoEvaluator format: crowd anns
         are retained (the COCO protocol scores them as ignores, reference
         datasets/coco_eval.py via pycocotools)."""
+        from tce_rvos_tpu.utils import rle as rle_util
+
         out: Dict = {}
         for img_id, anns in self._eval_anns_by_image.items():
-            out[img_id] = [
-                {
+            info = self.images[img_id]
+            h, w = int(info["height"]), int(info["width"])
+            recs = []
+            for a in anns:
+                d = {
                     "bbox": a["bbox"],
                     "area": a.get(
                         "area", float(a["bbox"][2]) * float(a["bbox"][3])
                     ),
                     "iscrowd": a.get("iscrowd", 0),
                 }
-                for a in anns
-            ]
+                if "segmentation" in a:
+                    seg = a["segmentation"]
+                    # polygons are rasterized; crowd anns usually ship RLE
+                    # dicts already in the wire format — pass them through
+                    d["segmentation"] = seg if isinstance(seg, dict) else (
+                        rle_util.encode(poly_to_mask(seg, h, w).astype(np.uint8))
+                    )
+                recs.append(d)
+            out[img_id] = recs
         return out
 
     def __len__(self):

@@ -133,20 +133,32 @@ class RefExpDataset:
         return out
 
     def coco_gt_by_image(self):
-        """image_id -> annotation dicts for eval.coco_eval.CocoEvaluator."""
-        return {
-            img_id: [
-                {
+        """image_id -> annotation dicts for eval.coco_eval.CocoEvaluator.
+        When annotations carry polygon segmentations they are rasterized to
+        RLE so the evaluator can score the ``segm`` iou_type (the reference
+        feeds pycocotools the raw polygons and it rasterizes internally)."""
+        from tce_rvos_tpu.utils import rle as rle_util
+
+        out = {}
+        for img_id in self.ids:
+            info = self.images[img_id]
+            h, w = int(info["height"]), int(info["width"])
+            anns = []
+            for a in self.anns_by_image[img_id]:
+                d = {
                     "bbox": a["bbox"],
                     "area": a.get(
                         "area", float(a["bbox"][2]) * float(a["bbox"][3])
                     ),
                     "iscrowd": a.get("iscrowd", 0),
                 }
-                for a in self.anns_by_image[img_id]
-            ]
-            for img_id in self.ids
-        }
+                if "segmentation" in a:
+                    d["segmentation"] = rle_util.encode(
+                        poly_to_mask(a["segmentation"], h, w).astype(np.uint8)
+                    )
+                anns.append(d)
+            out[img_id] = anns
+        return out
 
     def __getitem__(self, idx: int):
         from PIL import Image

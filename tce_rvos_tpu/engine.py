@@ -100,20 +100,30 @@ def evaluate_coco_pretrain(
     loader,
     gt_boxes_by_image: Dict,
     coco_gt_by_image: Dict = None,
+    masks: bool = False,
 ) -> Dict[str, float]:
     """COCO-pretrain eval (parity with reference engine.py:98-161): run the
     bbox postprocessor and score P@{1,5,10} via RefExpEvaluator plus,
     when ``coco_gt_by_image`` annotations are supplied, the class-agnostic
-    COCO box mAP the reference gets from CocoEvaluator (engine.py:143-157)."""
+    COCO box mAP the reference gets from CocoEvaluator (engine.py:143-157).
+    With ``masks=True`` the segm postprocessor runs too and the evaluator
+    additionally scores mask mAP — reference engine.py:126-128 wires
+    PostProcessSegm when args.masks, and :154-157 reports
+    ``coco_eval_masks``. GT annotations must then carry ``segmentation``
+    RLEs (data/{refexp,coco}.py ``coco_gt_by_image`` provide them)."""
     from tce_rvos_tpu.eval.refexp_eval import RefExpEvaluator
-    from tce_rvos_tpu.models.postprocessors import coco_postprocess_bbox
+    from tce_rvos_tpu.models.postprocessors import (
+        coco_postprocess_bbox,
+        coco_postprocess_segm,
+    )
 
+    iou_types = ("bbox", "segm") if masks else ("bbox",)
     evaluator = RefExpEvaluator(gt_boxes_by_image)
     coco_evaluator = None
     if coco_gt_by_image is not None:
         from tce_rvos_tpu.eval.coco_eval import CocoEvaluator
 
-        coco_evaluator = CocoEvaluator(coco_gt_by_image, iou_types=("bbox",))
+        coco_evaluator = CocoEvaluator(coco_gt_by_image, iou_types=iou_types)
     logger = MetricLogger()
     for batch in logger.log_every(loader, 10, "Test:"):
         outputs = fwd(
@@ -125,10 +135,18 @@ def evaluate_coco_pretrain(
             sizes=jnp.asarray(batch["sizes"]),
         )
         results = coco_postprocess_bbox(outputs, np.asarray(batch["orig_sizes"]))
+        if masks:
+            results = coco_postprocess_segm(
+                results, outputs,
+                np.asarray(batch["orig_sizes"]), np.asarray(batch["sizes"]),
+            )
         res = {
             batch["image_ids"][i]: {
                 "scores": results[i]["scores"],
                 "boxes": results[i]["boxes"],
+                **(
+                    {"masks": results[i]["masks"]} if masks else {}
+                ),
             }
             for i in range(len(results))
         }
@@ -140,17 +158,41 @@ def evaluate_coco_pretrain(
     # multi-rank merge, coco_eval.py:172-207; single-process: identity)
     if jax.process_count() > 1:
         from tce_rvos_tpu.parallel.collectives import all_gather_objects
+        from tce_rvos_tpu.utils import rle as rle_util
 
-        local = {
-            k: {"scores": np.asarray(v["scores"]).tolist(),
-                "boxes": np.asarray(v["boxes"]).tolist()}
-            for k, v in evaluator.predictions.items()
-        }
+        def _jsonable_rle(r):
+            c = r["counts"]
+            return {"size": list(r["size"]),
+                    "counts": c.decode("ascii") if isinstance(c, bytes) else c}
+
+        def _ser(v):
+            d = {"scores": np.asarray(v["scores"]).tolist(),
+                 "boxes": np.asarray(v["boxes"]).tolist()}
+            if "masks" in v:
+                # RLE-encode for the JSON-over-uint8 gather (binary mask
+                # stacks are huge; counts strings are compact + jsonable)
+                m = np.asarray(v["masks"]).astype(np.uint8)
+                d["rle_masks"] = [
+                    _jsonable_rle(rle_util.encode(mi.squeeze())) for mi in m
+                ]
+            return d
+
+        local = {k: _ser(v) for k, v in evaluator.predictions.items()}
         merged = {}
         for shard in all_gather_objects(local):
             merged.update(shard)
         merged = {
-            k: {"scores": np.asarray(v["scores"]), "boxes": np.asarray(v["boxes"])}
+            k: {
+                "scores": np.asarray(v["scores"]),
+                "boxes": np.asarray(v["boxes"]),
+                **(
+                    {"rle_masks": [
+                        {"size": r["size"], "counts": r["counts"].encode("ascii")
+                         if isinstance(r["counts"], str) else r["counts"]}
+                        for r in v["rle_masks"]
+                    ]} if "rle_masks" in v else {}
+                ),
+            }
             for k, v in merged.items()
         }
         evaluator = RefExpEvaluator(gt_boxes_by_image)
@@ -158,11 +200,13 @@ def evaluate_coco_pretrain(
         if coco_evaluator is not None:
             from tce_rvos_tpu.eval.coco_eval import CocoEvaluator
 
-            coco_evaluator = CocoEvaluator(coco_gt_by_image, iou_types=("bbox",))
+            coco_evaluator = CocoEvaluator(coco_gt_by_image, iou_types=iou_types)
             coco_evaluator.update(merged)
     stats = evaluator.summarize()
     if coco_evaluator is not None:
         stats["coco_eval_bbox"] = coco_evaluator.stats("bbox")
+        if masks:
+            stats["coco_eval_masks"] = coco_evaluator.stats("segm")
     return stats
 
 

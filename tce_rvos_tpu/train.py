@@ -68,6 +68,7 @@ def run_eval(args, model_cfg, data_cfg, model, variables):
             fwd, variables, iter(loader),
             dataset_val.gt_boxes_by_image(),
             dataset_val.coco_gt_by_image(),
+            masks=model_cfg.masks,
         )
     raise ValueError(
         f"--eval has no metric protocol for {args.dataset_file!r}; "

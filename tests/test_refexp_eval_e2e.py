@@ -95,3 +95,15 @@ def test_refexp_eval_end_to_end(coco_root):
     assert len(stats["coco_eval_bbox"]) == 12
     ap = stats["coco_eval_bbox"][0]
     assert ap == -1.0 or 0.0 <= ap <= 1.0
+
+    # segm path (reference engine.py:126-128,154-157: PostProcessSegm +
+    # coco_eval_masks when args.masks): GT segmentation RLEs come from
+    # coco_gt_by_image's polygon rasterization
+    assert "segmentation" in coco_gt[1][0]
+    loader = [collate_batch([ds[i]]) for i in range(2)]
+    stats_m = evaluate_coco_pretrain(
+        fwd, variables, iter(loader), gt_boxes, coco_gt, masks=True
+    )
+    assert len(stats_m["coco_eval_masks"]) == 12
+    ap_m = stats_m["coco_eval_masks"][0]
+    assert ap_m == -1.0 or 0.0 <= ap_m <= 1.0
