@@ -178,7 +178,7 @@ def _flat_kernel_3d(qa_ref, v_ref, out_ref, *, shapes, lvl_idx, nlvl, d, m,
         out_ref[0, :, mi * d : (mi + 1) * d] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def ms_deform_attn_pallas_3d(
     value: jnp.ndarray,
     spatial_shapes: SpatialShapes,
@@ -186,7 +186,10 @@ def ms_deform_attn_pallas_3d(
     attention_weights: jnp.ndarray,
 ) -> jnp.ndarray:
     """Pallas forward of :func:`tce_rvos_tpu.ops.msda.ms_deform_attn_3d`
-    (same signature/semantics — the batch axis doubles as time).
+    (same signature/semantics — the batch axis doubles as time), with the
+    analytic Pallas backward (ops/pallas_msda_3d_bwd.py — the TPU
+    counterpart of the reference's dedicated 3D col2im CUDA kernel,
+    ms_deform_im2col_cuda.cuh:566-714,1461-1507).
 
     value: [N, S, M, D]; sampling_locations: [N, Q, M, L, P, 3] with
     normalized (x, y, f); attention_weights: [N, Q, M, L, P].
@@ -285,3 +288,21 @@ def ms_deform_attn_pallas_3d(
         out = part if out is None else out + part
 
     return out[:, :q].astype(value.dtype)
+
+
+def _fwd_3d(value, spatial_shapes, loc, attn):
+    return (
+        ms_deform_attn_pallas_3d(value, spatial_shapes, loc, attn),
+        (value, loc, attn),
+    )
+
+
+def _bwd_3d(spatial_shapes, res, g):
+    from tce_rvos_tpu.ops.pallas_msda_3d_bwd import msda_backward_3d
+
+    value, loc, attn = res
+    dv, dloc, dattn = msda_backward_3d(value, spatial_shapes, loc, attn, g)
+    return dv.astype(value.dtype), dloc, dattn
+
+
+ms_deform_attn_pallas_3d.defvjp(_fwd_3d, _bwd_3d)

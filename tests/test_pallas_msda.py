@@ -275,6 +275,46 @@ def test_pallas_3d_matches_oracle():
     np.testing.assert_allclose(got, expected, rtol=0.05, atol=5e-3)
 
 
+def test_pallas_3d_backward_matches_oracle_vjp():
+    """The 3D analytic Pallas backward (ops/pallas_msda_3d_bwd.py — TPU
+    counterpart of the reference's dedicated 3D col2im kernel,
+    ms_deform_im2col_cuda.cuh:566-714,1461-1507) must match the XLA
+    trilinear oracle's autodiff for all FOUR gradient groups (d_value,
+    d_loc incl. the temporal coordinate, d_attn) at bf16-tap tolerance."""
+    from tce_rvos_tpu.ops.msda import ms_deform_attn_3d
+    from tce_rvos_tpu.ops.pallas_msda_3d import ms_deform_attn_pallas_3d
+
+    shapes = ((40, 32), (4, 8))
+    n, m, d, q, p = 3, 2, 8, 10, 3
+    l = len(shapes)
+    s = sum(h * w for h, w in shapes)
+    rng = np.random.RandomState(19)
+    value = jnp.asarray(rng.randn(n, s, m, d).astype(np.float32))
+    loc = rng.rand(n, q, m, l, p, 3).astype(np.float32) * 1.2 - 0.1
+    loc = jnp.asarray(loc)
+    attn = rng.rand(n, q, m, l, p).astype(np.float32) + 1e-3
+    attn = jnp.asarray(attn / attn.reshape(n, q, m, l * p).sum(-1)[..., None, None])
+
+    def loss_p(v, lo, a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(ms_deform_attn_pallas_3d(v, shapes, lo, a) ** 2)
+
+    def loss_o(v, lo, a):
+        return jnp.sum(ms_deform_attn_3d(v, shapes, lo, a) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(value, loc, attn)
+    go = jax.grad(loss_o, argnums=(0, 1, 2))(value, loc, attn)
+    for name, a, b in zip(("d_value", "d_loc", "d_attn"), gp, go):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1.0)
+        assert np.abs(a - b).max() < 0.02 * scale, (
+            name, np.abs(a - b).max(), scale
+        )
+    # the temporal coordinate's gradient specifically must be live
+    assert np.abs(np.asarray(gp[1])[..., 2]).max() > 0
+
+
 def test_banded_level1_groups_parity():
     """Round-3 generalization: tail query blocks that are pure LEVEL-1
     pixel blocks get banded value windows too (_query_groups src_level=1).
