@@ -49,6 +49,9 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--msda_impl", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="deformable-attention backend; auto = pallas on TPU")
+    p.add_argument("--msda_3d", action="store_true",
+                   help="temporal-trilinear deformable sampling (the "
+                        "reference CUDA is_3d branch) in encoder/decoder")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="inference compute dtype (bfloat16 = TPU MXU fast "

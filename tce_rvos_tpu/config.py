@@ -94,6 +94,11 @@ class ModelConfig:
     # TPU-specific
     compute_dtype: str = "float32"        # "bfloat16" for the fast path
     msda_impl: str = "xla"                # "xla" gather | "pallas" MXU kernel
+    # temporal-trilinear MSDA (the reference CUDA's is_3d branch /
+    # MSDeformAttnFunction3D export, never wired into a reference module):
+    # encoder self-attn + decoder cross-attn sample a third fractional-frame
+    # coordinate (models/transformer.py MSDeformAttnLayer.is_3d)
+    msda_3d: bool = False
 
     @property
     def num_classes(self) -> int:

@@ -118,25 +118,57 @@ class ReferFormer(nn.Module):
     @nn.compact
     def __call__(
         self,
-        video: jnp.ndarray,        # [b, t, H, W, 3] normalized frames
-        video_mask: jnp.ndarray,   # [b, t, H, W] True=pad
-        text_ids: jnp.ndarray,     # [b, S] int32
-        text_attn_mask: jnp.ndarray,  # [b, S] 1=token 0=pad
-        sizes: jnp.ndarray,        # [b, 2] (h, w) unpadded model-input size
+        video: Optional[jnp.ndarray],  # [bv, t, H, W, 3] normalized frames
+        video_mask: jnp.ndarray,   # [bv, t, H, W] True=pad
+        text_ids: Optional[jnp.ndarray] = None,     # [b, S] int32
+        text_attn_mask: Optional[jnp.ndarray] = None,  # [b, S] 1=token 0=pad
+        sizes: Optional[jnp.ndarray] = None,  # [bv, 2] (h, w) unpadded size
         valid_indices: Optional[jnp.ndarray] = None,  # [b] (a2d: t -> 1)
         deterministic: bool = True,
+        precomputed_feats: Optional[Sequence[jnp.ndarray]] = None,
+        backbone_only: bool = False,
     ):
+        """Serving split: the backbone (+nothing else) is text-INDEPENDENT —
+        fusion enters only after input_proj (reference tce_rvos.py:258-307) —
+        so inference can run it once per clip window and reuse the features
+        for every expression of the video:
+
+          * ``backbone_only=True``: run just the backbone, return the feature
+            pyramid (list of [(bv t), h, w, c]).
+          * ``precomputed_feats=...``: skip the backbone, consume a pyramid
+            from a previous ``backbone_only`` call. When the text batch b is
+            a multiple of the video batch bv (expression batching: E
+            expressions over the same frames), the features/masks/sizes are
+            tiled b//bv times so the text-conditioned trunk runs all
+            expressions in one batched program.
+        """
         cfg = self.cfg
         c = cfg.hidden_dim
-        b, t_in = video.shape[0], video.shape[1]
+        bv, t_in = video_mask.shape[0], video_mask.shape[1]
+        b = bv if text_ids is None else text_ids.shape[0]
 
         # ---- backbone (res2..res5) ----
-        backbone, strides, channels, is_temporal = build_backbone_module(cfg)
-        if is_temporal:
-            feats = backbone(video, deterministic=deterministic)
+        if precomputed_feats is None:
+            backbone, strides, channels, is_temporal = build_backbone_module(cfg)
+            if is_temporal:
+                feats = backbone(video, deterministic=deterministic)
+            else:
+                frames = video.reshape((bv * t_in,) + video.shape[2:])
+                feats = backbone(frames, deterministic=deterministic)
+            if backbone_only:
+                return feats
         else:
-            frames = video.reshape((b * t_in,) + video.shape[2:])
-            feats = backbone(frames, deterministic=deterministic)
+            feats = list(precomputed_feats)
+
+        if b != bv:
+            # expression batching: tile the video-side tensors E=b//bv times.
+            # (b t) flattening is b-major, so tiling the (bv t) axis yields
+            # exactly the layout a b-batch forward would produce.
+            assert b % bv == 0, (b, bv)
+            e = b // bv
+            feats = [jnp.tile(f, (e,) + (1,) * (f.ndim - 1)) for f in feats]
+            video_mask = jnp.tile(video_mask, (e, 1, 1, 1))
+            sizes = jnp.tile(sizes, (e, 1))
         frame_mask = video_mask.reshape((b * t_in,) + video_mask.shape[2:])
         feat_masks = [
             resize_mask_nearest(frame_mask, (f.shape[1], f.shape[2])) for f in feats
@@ -219,6 +251,7 @@ class ReferFormer(nn.Module):
             with_box_refine=cfg.with_box_refine,
             use_checkpoint=cfg.use_checkpoint,
             msda_impl=cfg.msda_impl,
+            msda_3d=cfg.msda_3d,
             name="transformer",
         )(
             srcs, text_embed, masks_l, poses[len(feats) - 3 :][: cfg.num_feature_levels],

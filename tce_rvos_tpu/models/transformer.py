@@ -92,6 +92,14 @@ class MSDeformAttnLayer(nn.Module):
     # order (encoder self-attention) — lets the Pallas kernel use banded
     # value windows (ops/pallas_msda.py); semantics are unchanged
     pixel_queries: bool = False
+    # temporal-trilinear sampling (the reference CUDA's is_3d branch,
+    # ms_deform_im2col_cuda.cuh:366-420, exported as MSDeformAttnFunction3D
+    # but never module-wired there): each point carries a third (fractional
+    # frame) coordinate; the temporal reference is the query's own frame
+    # ((n + 0.5)/N along the batch-as-time axis), so zero temporal offsets
+    # reduce exactly to the 2D op. Routed to ops/msda.ms_deform_attn_3d
+    # (impl=xla) or the Pallas 3D kernels fwd+bwd (impl=pallas).
+    is_3d: bool = False
 
     @nn.compact
     def __call__(
@@ -105,6 +113,12 @@ class MSDeformAttnLayer(nn.Module):
         m, l, p = self.n_heads, self.n_levels, self.n_points
         n, q_len, _ = query.shape
         s = input_flatten.shape[1]
+
+        if self.is_3d:
+            return self._call_3d(
+                query, reference_points, input_flatten, spatial_shapes,
+                padding_mask,
+            )
 
         if self.impl == "pallas":
             # head-major projection: the kernels consume value as
@@ -201,6 +215,86 @@ class MSDeformAttnLayer(nn.Module):
         out = nn.Dense(self.d_model, kernel_init=xavier, name="output_proj")(out)
         return out, loc, attn
 
+    def _call_3d(
+        self, query, reference_points, input_flatten, spatial_shapes,
+        padding_mask,
+    ):
+        """Temporal-trilinear variant (see ``is_3d``). Same parameter names
+        as the 2D path; ``sampling_offsets`` emits 3 coordinates per point
+        (x, y, frame). Reference layouts ([N, Q, M, ...]) — the 3D kernels
+        take them directly."""
+        m, l, p = self.n_heads, self.n_levels, self.n_points
+        n, q_len, _ = query.shape
+        s = input_flatten.shape[1]
+
+        value = nn.Dense(
+            self.d_model, kernel_init=xavier, name="value_proj"
+        )(input_flatten)
+        if padding_mask is not None:
+            value = jnp.where(padding_mask[..., None], 0.0, value)
+        value = value.reshape(n, s, m, self.d_model // m)
+
+        def bias3d(key, shape, dtype=jnp.float32):
+            b2 = _offset_bias_init(m, l, p)(key, (m * l * p * 2,), dtype)
+            b3 = jnp.concatenate(
+                [b2.reshape(m, l, p, 2),
+                 jnp.zeros((m, l, p, 1), dtype)], axis=-1,
+            )
+            return b3.reshape(-1)
+
+        offsets = nn.Dense(
+            m * l * p * 3,
+            kernel_init=nn.initializers.zeros,
+            bias_init=bias3d,
+            name="sampling_offsets",
+        )(query).reshape(n, q_len, m, l, p, 3)
+        attn = nn.Dense(
+            m * l * p,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(n, q_len, m, l * p)
+        attn = nn.softmax(attn, axis=-1).reshape(n, q_len, m, l, p)
+
+        ref = reference_points[:, :, None]  # broadcast over heads
+        if reference_points.shape[-1] == 2:
+            normalizer = jnp.asarray(
+                [[w, h] for h, w in spatial_shapes], dtype=offsets.dtype
+            )
+            loc_xy = (
+                ref[:, :, :, :, None, :]
+                + offsets[..., :2] / normalizer[None, None, None, :, None, :]
+            )
+        elif reference_points.shape[-1] == 4:
+            loc_xy = (
+                ref[:, :, :, :, None, :2]
+                + offsets[..., :2] / p * ref[:, :, :, :, None, 2:] * 0.5
+            )
+        else:
+            raise ValueError("reference_points last dim must be 2 or 4")
+        # temporal reference: the query's own frame along the batch-as-time
+        # axis — (n + 0.5)/N puts f_im = loc_f*N - 0.5 exactly on frame n at
+        # zero offset (hat weight 1: reduces to the 2D op)
+        ref_f = (jnp.arange(n, dtype=loc_xy.dtype) + 0.5) / n
+        loc_f = (
+            ref_f[:, None, None, None, None]
+            + offsets[..., 2] / n
+        )[..., None]
+        loc = jnp.concatenate([loc_xy, loc_f], axis=-1)  # [N,Q,M,L,P,3]
+
+        if self.impl == "pallas":
+            from tce_rvos_tpu.ops.pallas_msda_3d import ms_deform_attn_pallas_3d
+
+            out = ms_deform_attn_pallas_3d(value, spatial_shapes, loc, attn)
+        else:
+            from tce_rvos_tpu.ops.msda import ms_deform_attn_3d
+
+            out = ms_deform_attn_3d(value, spatial_shapes, loc, attn)
+        from jax.ad_checkpoint import checkpoint_name
+        out = checkpoint_name(out, "msda_out")
+        out = nn.Dense(self.d_model, kernel_init=xavier, name="output_proj")(out)
+        return out, loc[..., :2], attn
+
 
 def get_encoder_reference_points(
     spatial_shapes: Tuple[Tuple[int, int], ...], valid_ratios: jnp.ndarray
@@ -241,6 +335,13 @@ class FrameTokenLayer(nn.Module):
     n_levels: int = 4
     n_points: int = 4
     msda_impl: str = "xla"
+    # frames per clip (t): the joint token attention spans ONE clip's t*To
+    # tokens. The reference reshapes to [(b t tok), 1, c] (:462-477), i.e.
+    # its "clip" silently spans the whole batch — correct only at its b=1
+    # deployment; batching clips (dp training, expression-batched serving)
+    # must not let tokens of different clips/expressions attend to each
+    # other, so the sequence is scoped per batch element here.
+    clip_frames: int = 1
 
     @nn.compact
     def __call__(
@@ -255,6 +356,8 @@ class FrameTokenLayer(nn.Module):
         deterministic: bool = True,
     ):
         n, n_tok, c = token.shape
+        t = self.clip_frames
+        b = n // t
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         # 1) token <- frame features (deformable cross-attn); ref points are
@@ -269,11 +372,11 @@ class FrameTokenLayer(nn.Module):
         )(with_pos(token, token_pos), ref, src, spatial_shapes, padding_mask)
         token = nn.LayerNorm(name="norm1")(token + drop(token2))
 
-        # 2) joint self-attention across ALL frames' tokens: fold (N, To) into
-        # one sequence of length b*t*To (reference :462-477 reshapes to
-        # [(b t tok), 1, c] with seq axis spanning the clip)
-        flat = token.reshape(1, n * n_tok, c)
-        flat_pos = token_pos.reshape(1, n * n_tok, c)
+        # 2) joint self-attention across the CLIP's frames' tokens: fold
+        # (t, To) into one sequence of length t*To per batch element
+        # (reference :462-477; see ``clip_frames`` for the batch scoping)
+        flat = token.reshape(b, t * n_tok, c)
+        flat_pos = token_pos.reshape(b, t * n_tok, c)
         qk = with_pos(flat, flat_pos)
         token2 = MultiheadAttention(
             self.d_model, self.n_heads, self.dropout, name="token_self_atten"
@@ -307,16 +410,19 @@ class LastLayerAsToken(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     n_heads: int = 8
+    clip_frames: int = 1  # see FrameTokenLayer.clip_frames
 
     @nn.compact
     def __call__(self, src, pos, last_start: int, deterministic: bool = True):
         n, s, c = src.shape
+        t = self.clip_frames
+        b = n // t
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
         dense, tok = src[:, :last_start], src[:, last_start:]
         tok_pos = pos[:, last_start:]
         n_tok = tok.shape[1]
-        flat = tok.reshape(1, n * n_tok, c)
-        flat_pos = tok_pos.reshape(1, n * n_tok, c)
+        flat = tok.reshape(b, t * n_tok, c)
+        flat_pos = tok_pos.reshape(b, t * n_tok, c)
         # NOTE: query gets pos, key/value don't (reference :378)
         tok2 = MultiheadAttention(
             self.d_model, self.n_heads, self.dropout, name="inter_frame_att"
@@ -346,6 +452,8 @@ class EncoderLayer(nn.Module):
     n_points: int = 4
     f_token: int = 0
     msda_impl: str = "xla"
+    msda_3d: bool = False
+    clip_frames: int = 1  # see FrameTokenLayer.clip_frames
 
     @nn.compact
     def __call__(
@@ -364,13 +472,15 @@ class EncoderLayer(nn.Module):
             last_start = sum(h * w for h, w in spatial_shapes[:-1])
             src = LastLayerAsToken(
                 self.d_model, self.d_ffn, self.dropout, self.activation,
-                self.n_heads, name="inter_frame_atten",
+                self.n_heads, clip_frames=self.clip_frames,
+                name="inter_frame_atten",
             )(src, pos, last_start, deterministic)
         if self.f_token > 0:
             src, memory_bus = FrameTokenLayer(
                 self.d_model, self.d_ffn, self.dropout, self.activation,
                 self.n_heads, self.n_levels, self.n_points,
-                msda_impl=self.msda_impl, name="ftoken_layers",
+                msda_impl=self.msda_impl, clip_frames=self.clip_frames,
+                name="ftoken_layers",
             )(
                 src, pos, memory_bus, memory_pos, spatial_shapes, padding_mask,
                 valid_ratios, deterministic,
@@ -378,7 +488,8 @@ class EncoderLayer(nn.Module):
 
         src2, _, _ = MSDeformAttnLayer(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            impl=self.msda_impl, pixel_queries=True, name="self_attn",
+            impl=self.msda_impl, pixel_queries=True, is_3d=self.msda_3d,
+            name="self_attn",
         )(with_pos(src, pos), reference_points, src, spatial_shapes, padding_mask)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(src)
@@ -402,6 +513,13 @@ class DecoderLayer(nn.Module):
     n_points: int = 4
     is_query_atten: bool = False
     msda_impl: str = "xla"
+    msda_3d: bool = False
+    # frames per clip (t): IQT attends per query slot across ONE clip's t
+    # frames. The reference's un-transposed call (:675-687) makes seq=b*t —
+    # spanning the whole batch, correct only at its b=1 deployment; batched
+    # clips/expressions are scoped per batch element here (see
+    # FrameTokenLayer.clip_frames).
+    clip_frames: int = 1
 
     @nn.compact
     def __call__(
@@ -421,19 +539,37 @@ class DecoderLayer(nn.Module):
             self.d_model, self.n_heads, self.dropout, name="self_attn"
         )
         if self.is_query_atten:
-            # IQT: interpret [N, Q, C] as batch=Q, seq=N(=b*t): each query
-            # slot attends across all frames of the clip
-            tgt2 = attn(
-                qk.transpose(1, 0, 2), qk.transpose(1, 0, 2), tgt.transpose(1, 0, 2),
-                deterministic=deterministic,
-            ).transpose(1, 0, 2)
+            # IQT: each query slot attends across its clip's t frames:
+            # [b*t, Q, C] -> [b*Q, t, C]
+            n, q_len, c = tgt.shape
+            t = self.clip_frames
+            b = n // t
+
+            def to_iqt(x):
+                return (
+                    x.reshape(b, t, q_len, c)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(b * q_len, t, c)
+                )
+
+            def from_iqt(x):
+                return (
+                    x.reshape(b, q_len, t, c)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(n, q_len, c)
+                )
+
+            tgt2 = from_iqt(
+                attn(to_iqt(qk), to_iqt(qk), to_iqt(tgt),
+                     deterministic=deterministic)
+            )
         else:
             tgt2 = attn(qk, qk, tgt, deterministic=deterministic)
         tgt = nn.LayerNorm(name="norm2")(tgt + drop(tgt2))
 
         tgt2, loc, attn_w = MSDeformAttnLayer(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            impl=self.msda_impl, name="cross_attn",
+            impl=self.msda_impl, is_3d=self.msda_3d, name="cross_attn",
         )(with_pos(tgt, query_pos), reference_points, src, spatial_shapes, padding_mask)
         tgt = nn.LayerNorm(name="norm1")(tgt + drop(tgt2))
 
@@ -490,6 +626,7 @@ class DeformableTransformer(nn.Module):
     f_token: int = 0
     with_box_refine: bool = False
     msda_impl: str = "xla"
+    msda_3d: bool = False
     use_checkpoint: bool = False  # remat each enc/dec layer (training memory)
 
     @nn.compact
@@ -526,6 +663,7 @@ class DeformableTransformer(nn.Module):
         valid_ratios = jnp.stack([get_valid_ratio(m) for m in masks], axis=1)
 
         # ---- encoder ----
+        b, t, q_per_frame, _ = tgt.shape
         enc_ref = get_encoder_reference_points(spatial_shapes, valid_ratios)
         memory_bus = memory_pos = None
         if self.f_token > 0:
@@ -539,7 +677,6 @@ class DeformableTransformer(nn.Module):
             memory_bus = jnp.broadcast_to(bus[None], (n, self.f_token, c))
             memory_pos = jnp.broadcast_to(bpos[None], (n, self.f_token, c))
 
-        b, t, q_per_frame, _ = tgt.shape
         output = src_flat
         # activation remat per layer: at 25k tokens the encoder's saved
         # intermediates dominate training HBM (the flagship train step OOMs
@@ -557,8 +694,8 @@ class DeformableTransformer(nn.Module):
             output, memory_bus = enc_cls(
                 c, self.dim_feedforward, self.dropout, self.activation,
                 self.num_feature_levels, self.nhead, self.enc_n_points,
-                self.f_token, msda_impl=self.msda_impl,
-                name=f"encoder_layers_{i}",
+                self.f_token, msda_impl=self.msda_impl, msda_3d=self.msda_3d,
+                clip_frames=t, name=f"encoder_layers_{i}",
             )(
                 output, pos_flat, enc_ref, spatial_shapes, valid_ratios,
                 mask_flat, memory_bus, memory_pos, deterministic,
@@ -591,8 +728,8 @@ class DeformableTransformer(nn.Module):
             out, loc, attn_w = dec_cls(
                 c, self.dim_feedforward, self.dropout, self.activation,
                 self.num_feature_levels, self.nhead, self.dec_n_points,
-                self.q_trans, msda_impl=self.msda_impl,
-                name=f"decoder_layers_{i}",
+                self.q_trans, msda_impl=self.msda_impl, msda_3d=self.msda_3d,
+                clip_frames=t, name=f"decoder_layers_{i}",
             )(
                 out, query_pos, ref_input, memory, spatial_shapes, mask_flat,
                 deterministic,
