@@ -105,6 +105,8 @@ class InferenceEngine:
         self.window = window or cfg.num_frames
         self.t_bucket = t_bucket
         self._fwd = jax.jit(self._forward)
+        self._bb = jax.jit(self._backbone_forward)
+        self._trunk = jax.jit(self._trunk_forward)
 
     def _forward(self, variables, video, video_mask, text_ids, text_attn, sizes):
         if self.cfg.compute_dtype != "float32":
@@ -118,6 +120,48 @@ class InferenceEngine:
             text_ids=text_ids,
             text_attn_mask=text_attn,
             sizes=sizes,
+        )
+        return {
+            "pred_logits": out["pred_logits"],
+            "pred_masks": out["pred_masks"],
+            "pred_boxes": out["pred_boxes"],
+            "reference_points": out["reference_points"],
+            "inter_samples": out["inter_samples"],
+        }
+
+    def _cast_video(self, video):
+        if self.cfg.compute_dtype != "float32":
+            from tce_rvos_tpu.utils.precision import resolve_dtype
+
+            video = video.astype(resolve_dtype(self.cfg.compute_dtype))
+        return video
+
+    def _backbone_forward(self, variables, video, video_mask):
+        """Text-independent half: the backbone feature pyramid, computed
+        ONCE per clip window and reused for every expression of the video
+        (the reference recomputes it per expression —
+        inference_ytvos.py:186,294; fusion only enters after input_proj,
+        models/tce_rvos.py:258-307)."""
+        return tuple(
+            self.model.apply(
+                variables,
+                video=self._cast_video(video),
+                video_mask=video_mask,
+                backbone_only=True,
+            )
+        )
+
+    def _trunk_forward(self, variables, feats, video_mask, text_ids, text_attn, sizes):
+        """Text-conditioned trunk over precomputed features; text batch E
+        tiles the video axis inside the model (expression batching)."""
+        out = self.model.apply(
+            variables,
+            video=None,
+            video_mask=video_mask,
+            text_ids=text_ids,
+            text_attn_mask=text_attn,
+            sizes=sizes,
+            precomputed_feats=feats,
         )
         return {
             "pred_logits": out["pred_logits"],
@@ -207,6 +251,90 @@ class InferenceEngine:
             "inter_samples": np.concatenate(samples_all),  # [T, q, 30, 2]
             "model_size": model_size,
         }
+
+    def run_video_batch(
+        self,
+        frames: List[np.ndarray],
+        captions: Sequence[str],
+        f_extra: int = 0,
+        whole_video: bool = False,
+        exp_batch: int = 8,
+    ) -> List[Dict[str, np.ndarray]]:
+        """Serving path for a video with E expressions: per clip window the
+        text-independent backbone runs ONCE, then the text-conditioned trunk
+        runs with the expressions stacked on the batch axis (``exp_batch``
+        at a time, last chunk padded up to a power of two so compiles stay
+        bounded). Returns one ``run_video``-format dict per caption; masks
+        match the serial per-expression path (tests/test_infer_e2e.py).
+
+        The reference protocols re-run the FULL model once per
+        (expression x window) over identical frames (inference_ytvos.py:186,
+        294; inference_davis.py:184-295 — x4 annotators); the backbone is
+        text-independent so that work is pure recompute, and batching the
+        trunk additionally lifts the kernels' batch axis (MFU).
+        """
+        t_total = len(frames)
+        E = len(captions)
+        win = self.window
+        if whole_video:
+            win = max(-(-t_total // self.t_bucket) * self.t_bucket, self.t_bucket)
+            # keep E*T inside the proven whole-video memory envelope
+            # (T-bucket 40 runs OOM-free on a 16G chip — BASELINE.md)
+            exp_batch = max(1, min(exp_batch, 40 // win))
+        text_ids, text_attn = tokenize([str(c) for c in captions])
+
+        # expression chunks: full exp_batch blocks + a pow2-padded tail
+        chunks: List[Tuple[int, int, int]] = []  # (offset, n_real, n_padded)
+        off = 0
+        while off < E:
+            n = min(exp_batch, E - off)
+            npad = 1
+            while npad < n:
+                npad *= 2
+            chunks.append((off, n, npad))
+            off += n
+
+        keys = ("pred_logits", "pred_masks", "pred_boxes", "reference_points")
+        acc: List[Dict[str, List[np.ndarray]]] = [
+            {k: [] for k in keys + ("inter_samples",)} for _ in range(E)
+        ]
+        model_size = None
+        for start in range(0, t_total, win):
+            core = list(range(start, min(start + win, t_total)))
+            n_core = len(core)
+            ext = [max(core[0] - k, 0) for k in range(f_extra, 0, -1)] + core + [
+                min(core[-1] + k, t_total - 1) for k in range(1, f_extra + 1)
+            ]
+            while len(ext) < win + 2 * f_extra:
+                ext.append(ext[-1])
+            clip = [frames[i] for i in ext]
+            video, mask, model_size = self.preprocess(clip)
+            sizes = np.asarray([model_size], np.int32)
+            feats = self._bb(self.variables, video, mask)
+            sl = slice(f_extra, f_extra + n_core)
+            for c_off, n_real, n_pad in chunks:
+                ids = text_ids[c_off : c_off + n_real]
+                attn = text_attn[c_off : c_off + n_real]
+                if n_pad != n_real:  # pad rows are duplicates, discarded
+                    pad = n_pad - n_real
+                    ids = np.concatenate([ids, np.repeat(ids[:1], pad, 0)])
+                    attn = np.concatenate([attn, np.repeat(attn[:1], pad, 0)])
+                out = self._trunk(self.variables, feats, mask, ids, attn, sizes)
+                t_clip = win + 2 * f_extra
+                samples = np.asarray(out["inter_samples"])[-1]
+                samples = samples.reshape((n_pad, t_clip) + samples.shape[1:])
+                for e in range(n_real):
+                    a = acc[c_off + e]
+                    for k in keys:
+                        a[k].append(np.asarray(out[k])[e, sl])
+                    a["inter_samples"].append(samples[e, sl])
+        return [
+            {
+                **{k: np.concatenate(a[k]) for k in keys + ("inter_samples",)},
+                "model_size": model_size,
+            }
+            for a in acc
+        ]
 
 
 def make_engines(
@@ -377,6 +505,7 @@ def run_ytvos(
     videos: Optional[Sequence[str]] = None,
     whole_video: bool = True,
     visualize: bool = False,
+    exp_batch: int = 8,
 ):
     """Write per-frame binary PNGs to <out>/<split>/<video>/<exp_id>/.
     ``whole_video`` defaults True (the reference's default protocol); set
@@ -404,9 +533,14 @@ def run_ytvos(
             for f in frames_names
         ]
         orig_h, orig_w = frames[0].shape[:2]
-        for exp_id, exp_dict in data[video]["expressions"].items():
-            out = eng.run_video(frames, " ".join(exp_dict["exp"].lower().split()),
-                                f_extra=f_extra, whole_video=whole_video)
+        exps = list(data[video]["expressions"].items())
+        # serving path: backbone once per window, expressions batched
+        # (masks match the per-expression path — test_infer_e2e.py)
+        outs = eng.run_video_batch(
+            frames, [" ".join(d["exp"].lower().split()) for _, d in exps],
+            f_extra=f_extra, whole_video=whole_video, exp_batch=exp_batch,
+        )
+        for (exp_id, exp_dict), out in zip(exps, outs):
             q = select_query(out["pred_logits"])
             scores = masks_to_original(
                 out["pred_masks"][:, q], out["model_size"], (orig_h, orig_w),
@@ -444,6 +578,7 @@ def run_davis(
     split: str = "valid",
     threshold: float = 0.5,
     videos: Optional[Sequence[str]] = None,
+    exp_batch: int = 8,
 ):
     """4-annotator protocol: per annotator, run every object expression, merge
     objects by argmax over [0.1 bg, scores], save palette PNGs under
@@ -469,12 +604,18 @@ def run_davis(
         expressions = data[video]["expressions"]
         exp_ids = sorted(expressions.keys(), key=int)
         num_obj = len(exp_ids) // 4
+        # serving path: ONE batched pass over all num_obj*4 annotator
+        # expressions — the reference re-runs the full model per expression
+        # per annotator over identical frames (inference_davis.py:184-295)
+        outs = eng.run_video_batch(
+            frames,
+            [" ".join(expressions[eid]["exp"].lower().split()) for eid in exp_ids],
+            exp_batch=exp_batch,
+        )
         for anno_id in range(4):
             obj_scores = []
             for obj_id in range(num_obj):
-                eid = exp_ids[obj_id * 4 + anno_id]
-                exp = " ".join(expressions[eid]["exp"].lower().split())
-                out = eng.run_video(frames, exp)
+                out = outs[obj_id * 4 + anno_id]
                 q = select_query(out["pred_logits"])
                 scores = masks_to_original(
                     out["pred_masks"][:, q], out["model_size"], (orig_h, orig_w),
@@ -508,6 +649,7 @@ def run_mevis(
     split: str = "valid",
     threshold: float = 0.5,
     videos: Optional[Sequence[str]] = None,
+    exp_batch: int = 8,
 ):
     """MeViS valid-split inference with the ytvos windowed protocol (fixes
     the reference's gutted inference_mevis.py body)."""
@@ -528,8 +670,12 @@ def run_mevis(
             for f in frames_names
         ]
         orig_h, orig_w = frames[0].shape[:2]
-        for exp_id, exp_dict in data[video]["expressions"].items():
-            out = eng.run_video(frames, " ".join(exp_dict["exp"].lower().split()))
+        exps = list(data[video]["expressions"].items())
+        outs = eng.run_video_batch(
+            frames, [" ".join(d["exp"].lower().split()) for _, d in exps],
+            exp_batch=exp_batch,
+        )
+        for (exp_id, exp_dict), out in zip(exps, outs):
             q = select_query(out["pred_logits"])
             scores = masks_to_original(
                 out["pred_masks"][:, q], out["model_size"], (orig_h, orig_w),
@@ -567,6 +713,9 @@ def main(argv=None):
                    help="devices to fan videos out over (0 = all local)")
     p.add_argument("--visualize", action="store_true",
                    help="save qualitative overlays (mask/box/ref/sampling points)")
+    p.add_argument("--exp_batch", type=int, default=8,
+                   help="expressions batched per trunk forward (backbone runs "
+                        "once per window either way); 1 disables batching")
     args = p.parse_args(argv)
 
     cfg = model_config_from_args(args)
@@ -587,11 +736,14 @@ def main(argv=None):
     engines = make_engines(cfg, variables, args.num_devices, window=window)
     if args.dataset_file == "ytvos":
         run_ytvos(engines, args.ytvos_path, args.output_dir, args.split,
-                  args.threshold, cfg.f_extra, visualize=args.visualize)
+                  args.threshold, cfg.f_extra, visualize=args.visualize,
+                  exp_batch=args.exp_batch)
     elif args.dataset_file == "davis":
-        run_davis(engines, args.davis_path, args.output_dir, args.split, args.threshold)
+        run_davis(engines, args.davis_path, args.output_dir, args.split,
+                  args.threshold, exp_batch=args.exp_batch)
     else:
-        run_mevis(engines, args.mevis_path, args.output_dir, args.split, args.threshold)
+        run_mevis(engines, args.mevis_path, args.output_dir, args.split,
+                  args.threshold, exp_batch=args.exp_batch)
 
 
 if __name__ == "__main__":
