@@ -1,13 +1,20 @@
-"""Train-step benchmark: flagship config, one chip, steps/sec.
+"""Train-step benchmark: flagship config, one chip, steps/sec + train MFU.
 
 Measures the full jitted train step (forward + criterion + backward +
 AdamW update) at the flagship training shape (batch 1, 5 frames, 384x640).
 The MSDA backward is the analytic banded Pallas backward
 (ops/pallas_msda_bwd.py) when msda_impl=pallas (the default).
 
-Usage: python scripts/bench_train_step.py [msda_impl] [K] [dtype]
+Emits ONE JSON line with ms/step, steps/s and the useful-FLOP training MFU:
+USEFUL fwd+bwd FLOPs per step from XLA cost analysis of the gather-oracle
+build (scripts/count_flops.py — MSDA at true 4*L*P taps/query, remat
+recompute NOT counted: recompute is a memory-policy choice, not useful
+work) over v5e bf16 peak.
+
+Usage: python scripts/bench_train_step.py [msda_impl] [K] [dtype] [rng] [batch]
 """
 
+import json
 import os
 import sys
 import time
@@ -20,6 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 T, H, W = 5, 384, 640
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+B = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+# scripts/count_flops.py at 1x5x384x640 (criterion/optimizer excluded —
+# they are <2% of the dense-path FLOPs)
+TRAIN_USEFUL_FLOPS_PER_CLIP = 3.7012e12
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def main():
@@ -34,7 +46,7 @@ def main():
                       msda_impl=impl, use_checkpoint=True, compute_dtype=dtype)
     tcfg = TrainConfig()
     model = build_model(cfg)
-    inputs = example_inputs(cfg, b=1, t=T, hw=(H, W), text_len=8)
+    inputs = example_inputs(cfg, b=B, t=T, hw=(H, W), text_len=8)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
     state, tx = create_train_state(variables, tcfg, steps_per_epoch=1000)
     step = make_train_step(model.apply, tx, criterion_from_configs(cfg, tcfg),
@@ -43,10 +55,10 @@ def main():
     rng = np.random.RandomState(int(time.time() * 1e6) % (2**31))
     batch = dict(inputs)
     batch["targets"] = {
-        "labels": jnp.zeros((1, T), jnp.int32),
-        "boxes": jnp.asarray(rng.rand(1, T, 4), np.float32),
-        "masks": jnp.asarray((rng.rand(1, T, H, W) > 0.5).astype(np.float32)),
-        "valid": jnp.ones((1, T), jnp.int32),
+        "labels": jnp.zeros((B, T), jnp.int32),
+        "boxes": jnp.asarray(rng.rand(B, T, 4), np.float32),
+        "masks": jnp.asarray((rng.rand(B, T, H, W) > 0.5).astype(np.float32)),
+        "valid": jnp.ones((B, T), jnp.int32),
     }
 
     @jax.jit
@@ -83,10 +95,23 @@ def main():
         st2, s = k_steps(state, videos_k, rngs_k)
         tot += float(s)
     dt = (time.perf_counter() - t0) / reps
+    ms_step = dt / K * 1e3
+    steps_s = K / dt
     print(
-        f"train step ({impl}): {dt / K * 1e3:.1f} ms/step "
-        f"({K / dt:.3f} steps/s, clip=1x{T}x{H}x{W}, checksum {tot:.3f})"
+        f"train step ({impl}): {ms_step:.1f} ms/step "
+        f"({steps_s:.3f} steps/s, clip={B}x{T}x{H}x{W}, checksum {tot:.3f})"
     )
+    print(json.dumps({
+        "metric": "flagship_train_step",
+        "ms_per_step": round(ms_step, 1),
+        "steps_per_sec": round(steps_s, 3),
+        "clips_per_sec": round(steps_s * B, 3),
+        "batch": B,
+        "dtype": dtype,
+        "train_mfu": round(
+            TRAIN_USEFUL_FLOPS_PER_CLIP * steps_s * B / V5E_BF16_PEAK_FLOPS, 4
+        ),
+    }))
 
 
 if __name__ == "__main__":

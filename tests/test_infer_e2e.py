@@ -219,3 +219,44 @@ def test_long_expression_not_truncated(tmp_path):
     np.testing.assert_allclose(
         out["pred_masks"], np.asarray(ref["pred_masks"])[0], rtol=0, atol=0
     )
+
+
+def test_expression_batched_matches_serial(tmp_path):
+    """Serving path (VERDICT r3 item 1): run_video_batch computes the
+    backbone ONCE per window and batches the expressions on the trunk's
+    batch axis — per-expression outputs must match the serial run_video
+    path (binarized masks identical, floats at f32 reduction-noise scale).
+    Includes a padded tail chunk (3 expressions, exp_batch=4) and mixed
+    caption lengths spanning two tokenizer buckets."""
+    from tce_rvos_tpu.infer import InferenceEngine
+    from tce_rvos_tpu.models.build import build_model, example_inputs
+
+    cfg = ModelConfig(**TINY, f_token=2, qtrans=True, with_box_refine=True)
+    model = build_model(cfg)
+    inputs = example_inputs(cfg, b=1, t=cfg.num_frames, hw=(32, 32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+
+    rng = np.random.RandomState(1)
+    frames = [
+        rng.randint(0, 255, (32, 48, 3), np.uint8).astype(np.float32) / 255.0
+        for _ in range(5)
+    ]
+    engine = InferenceEngine(cfg, variables, size=32, max_size=48,
+                             window=cfg.num_frames)
+    caps = [
+        "the red ball",
+        "a running dog on the grass next to the small tree",
+        "the red ball again",
+    ]
+    serial = [engine.run_video(frames, c) for c in caps]
+    batched = engine.run_video_batch(frames, caps, exp_batch=4)
+    assert len(batched) == 3
+    for s, b in zip(serial, batched):
+        assert np.array_equal(s["pred_masks"] > 0, b["pred_masks"] > 0)
+        np.testing.assert_allclose(b["pred_masks"], s["pred_masks"],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(b["pred_logits"], s["pred_logits"],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(b["pred_boxes"], s["pred_boxes"],
+                                   rtol=1e-5, atol=1e-5)
+        assert s["inter_samples"].shape == b["inter_samples"].shape

@@ -46,6 +46,8 @@ def _run(cfg, b=1, t=2, hw=(64, 96)):
         dict(with_box_refine=True, f_token=4, qtrans=True),  # flagship shape
         dict(vlblock=False, vis_loss=True, contrastive=True),
         dict(f_token=-1),
+        # temporal-trilinear MSDA in encoder/decoder (reference is_3d branch)
+        dict(msda_3d=True, with_box_refine=True, qtrans=True),
     ],
 )
 def test_forward_shapes(cfg_kw):

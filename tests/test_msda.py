@@ -133,3 +133,47 @@ def test_3d_frame_lerp():
         )
         expected.append(np.asarray(e)[0])
     np.testing.assert_allclose(out3, np.stack(expected), rtol=1e-5, atol=1e-5)
+
+
+def test_msda_layer_3d_zero_temporal_offsets_match_2d():
+    """Module wiring for the temporal branch (MSDeformAttnLayer.is_3d):
+    the temporal reference is the query's own frame and the offset
+    projection is zero-init with a zero temporal bias component, so at
+    init the 3D layer must reproduce the 2D layer exactly (the frame hat
+    weight is 1 on the query's own frame). Also checks the layer
+    differentiates through the 3D op."""
+    import jax
+    from flax import linen as nn  # noqa: F401
+
+    from tce_rvos_tpu.models.transformer import MSDeformAttnLayer
+
+    shapes = ((6, 8), (3, 4))
+    n, q, c = 3, 5, 32
+    s = sum(h * w for h, w in shapes)
+    rng = np.random.RandomState(5)
+    query = jnp.asarray(rng.randn(n, q, c).astype(np.float32))
+    src = jnp.asarray(rng.randn(n, s, c).astype(np.float32))
+    ref = jnp.asarray(rng.rand(n, q, len(shapes), 2).astype(np.float32))
+
+    layer2d = MSDeformAttnLayer(c, len(shapes), 4, 2, impl="xla")
+    layer3d = MSDeformAttnLayer(c, len(shapes), 4, 2, impl="xla", is_3d=True)
+    v2 = layer2d.init(jax.random.PRNGKey(0), query, ref, src, shapes)
+    v3 = layer3d.init(jax.random.PRNGKey(0), query, ref, src, shapes)
+
+    out2, _, _ = layer2d.apply(v2, query, ref, src, shapes)
+    out3, loc3, attn3 = layer3d.apply(v3, query, ref, src, shapes)
+    np.testing.assert_allclose(
+        np.asarray(out3), np.asarray(out2), rtol=1e-5, atol=1e-5
+    )
+    assert loc3.shape == (n, q, 4, len(shapes), 2, 2)  # xy for consumers
+
+    def loss(v):
+        o, _, _ = layer3d.apply(v, query, ref, src, shapes)
+        return jnp.sum(o ** 2)
+
+    g = jax.grad(loss)(v3)
+    gk = g["params"]["sampling_offsets"]["kernel"]
+    assert np.isfinite(np.asarray(gk)).all()
+    # temporal offset columns receive gradient (every 3rd column)
+    gk = np.asarray(gk).reshape(c, -1, 3)
+    assert np.abs(gk[:, :, 2]).max() > 0
