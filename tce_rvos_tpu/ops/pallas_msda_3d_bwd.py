@@ -35,7 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tce_rvos_tpu.ops.msda import SpatialShapes, level_splits
 from tce_rvos_tpu.ops.pallas_msda import (
-    DEFAULT_BQ,
     FLAT_LEVEL_MAX_PIXELS,
     TINY_BQ,
 )
@@ -52,12 +51,21 @@ def _bwd3d_q_sep(
 ):
     """dloc (x, y, f) + dattn for one separable level, all heads per cell.
 
+    The frame axis is folded into the value's SUBLANE dimension
+    (lane index = frame*W + x), so the per-frame loop disappears: ONE pair
+    of matmuls per (head, point) emits [BQ, NFRM*W] tiles and the spatial
+    AND temporal hat weights are both built from the same iota — this keeps
+    the Mosaic program small (the naive per-frame unroll compiled 320
+    matmuls and wedged the compiler).
+
     qa_ref   [1, M, BQ, L*P*3 + L*P]  Q-major loc-xyz rows then attn rows
     g_ref    [1, M, BQ, D]
-    v_ref    [NFRM, M, W, H*D]        full frame axis, y-major lanes
+    v_ref    [M, NFRM*W, H*D]         frame-major sublanes, y-major lanes
     dloc_ref [1, M, BQ, P*3], dattn_ref [1, M, BQ, P]
     """
-    xs = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bq, nfrm * w), 1)
+    lane_x = (lane % w).astype(jnp.float32)
+    lane_f = (lane // w).astype(jnp.float32)
     ys_wide = (
         jax.lax.broadcasted_iota(jnp.int32, (bq, h * d), 1) // d
     ).astype(jnp.float32)
@@ -73,6 +81,7 @@ def _bwd3d_q_sep(
         g_wide = jnp.dot(
             g, expand, preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)                              # [BQ, H*D]
+        v_t = v_ref[mi].astype(jnp.bfloat16)                # [NFRM*W, H*D]
 
         dloc_cols = []
         dattn_cols = []
@@ -83,33 +92,26 @@ def _bwd3d_q_sep(
             fim = loc_t[:, r + 2 : r + 3] * nfrm - 0.5
             a = attn_t[:, lvl * p + pi : lvl * p + pi + 1]
 
-            wx, dwx = _lin_weight(xs, px)                   # [BQ, W]
+            wx, dwx = _lin_weight(lane_x, px)               # [BQ, NFRM*W]
+            wf, dwf = _lin_weight(lane_f, fim)
             wy, dwy = _lin_weight(ys_wide, py)              # [BQ, H*D]
             u = wy.astype(jnp.bfloat16) * g_wide
             du = dwy.astype(jnp.bfloat16) * g_wide
 
-            acc_a = jnp.zeros((bq, 1), jnp.float32)
-            acc_x = jnp.zeros((bq, 1), jnp.float32)
-            acc_y = jnp.zeros((bq, 1), jnp.float32)
-            acc_f = jnp.zeros((bq, 1), jnp.float32)
-            for fi in range(nfrm):
-                wf, dwf = _lin_weight(jnp.float32(fi), fim)  # [BQ, 1]
-                v_t = v_ref[fi, mi].astype(jnp.bfloat16)     # [W, H*D]
-                t = jax.lax.dot_general(
-                    u, v_t, _dn_t, preferred_element_type=jnp.float32
-                )                                            # [BQ, W]
-                t_dy = jax.lax.dot_general(
-                    du, v_t, _dn_t, preferred_element_type=jnp.float32
-                )
-                s_w = jnp.sum(wx * t, axis=1, keepdims=True)
-                acc_a = acc_a + wf * s_w
-                acc_x = acc_x + wf * jnp.sum(dwx * t, axis=1, keepdims=True)
-                acc_y = acc_y + wf * jnp.sum(wx * t_dy, axis=1, keepdims=True)
-                acc_f = acc_f + dwf * s_w
-            dattn_cols.append(acc_a)
-            dloc_cols.append(a * acc_x * w)
-            dloc_cols.append(a * acc_y * h)
-            dloc_cols.append(a * acc_f * nfrm)
+            t_all = jax.lax.dot_general(
+                u, v_t, _dn_t, preferred_element_type=jnp.float32
+            )                                               # [BQ, NFRM*W]
+            t_dy = jax.lax.dot_general(
+                du, v_t, _dn_t, preferred_element_type=jnp.float32
+            )
+            wxf = wx * wf
+            dattn_cols.append(jnp.sum(wxf * t_all, axis=1, keepdims=True))
+            dloc_cols.append(
+                a * jnp.sum((dwx * wf) * t_all, axis=1, keepdims=True) * w)
+            dloc_cols.append(
+                a * jnp.sum(wxf * t_dy, axis=1, keepdims=True) * h)
+            dloc_cols.append(
+                a * jnp.sum((wx * dwf) * t_all, axis=1, keepdims=True) * nfrm)
 
         dloc_ref[0, mi] = jnp.concatenate(dloc_cols, axis=1).astype(dloc_ref.dtype)
         dattn_ref[0, mi] = jnp.concatenate(dattn_cols, axis=1).astype(dattn_ref.dtype)
@@ -176,12 +178,32 @@ def _bwd3d_q_flat(
 ):
     """dloc/dattn for all flat levels merged, all heads per cell.
 
-    v_ref [NFRM, M, sum HW, D]
+    The value is LEVEL-MAJOR with the frame axis folded into sublanes
+    (per level: NFRM consecutive [h*w] segments); per (head, level) one
+    rhs-transposed matmul over the level's SUBLANE slice emits the
+    [BQ, NFRM*h*w] tap tile and the per-point work is pure iota-built
+    elementwise + rowsums — no frame loop (see _bwd3d_q_sep). (Slicing a
+    single whole-array vg on the LANE axis instead hits unaligned lane
+    offsets, which sent Mosaic's compile time to ~10 min.)
+
+    v_ref [M, NFRM*sum HW, D]
     dloc_ref [1, M, BQ, n_flat*P*3], dattn_ref [1, M, BQ, n_flat*P]
     """
     starts = [0]
     for hh, ww in shapes:
-        starts.append(starts[-1] + hh * ww)
+        starts.append(starts[-1] + nfrm * hh * ww)
+
+    # lane coordinate decode built ONCE per level (the div/mod chains by
+    # non-pow2 constants are the expensive Mosaic lowering — inside the
+    # head loop they get re-emitted m times)
+    lanes = []
+    for (h, w) in shapes:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bq, nfrm * h * w), 1)
+        fy = lane // w
+        lane_x = (lane % w).astype(jnp.float32)
+        lane_y = (fy % h).astype(jnp.float32)
+        lane_f = (fy // h).astype(jnp.float32)
+        lanes.append((lane_x, lane_y, lane_f))
 
     for mi in range(m):
         qa_t = qa_ref[0, mi]
@@ -189,50 +211,35 @@ def _bwd3d_q_flat(
         attn_t = qa_t[:, nlvl * p * 3 :]
         g = g_ref[0, mi].astype(jnp.bfloat16)
 
-        nfl = len(shapes)
-        acc_a = [jnp.zeros((bq, 1), jnp.float32) for _ in range(nfl * p)]
-        acc_x = [jnp.zeros((bq, 1), jnp.float32) for _ in range(nfl * p)]
-        acc_y = [jnp.zeros((bq, 1), jnp.float32) for _ in range(nfl * p)]
-        acc_f = [jnp.zeros((bq, 1), jnp.float32) for _ in range(nfl * p)]
-        for fi in range(nfrm):
-            for li, ((h, w), lvl) in enumerate(zip(shapes, lvl_idx)):
-                vi = v_ref[fi, mi, starts[li] : starts[li + 1], :].astype(
-                    jnp.bfloat16
-                )
-                vg = jax.lax.dot_general(
-                    g, vi, _dn_t, preferred_element_type=jnp.float32
-                )                                            # [BQ, h*w]
-                lane = jax.lax.broadcasted_iota(jnp.int32, (bq, h * w), 1)
-                lane_y = (lane // w).astype(jnp.float32)
-                lane_x = (lane % w).astype(jnp.float32)
-                for pi in range(p):
-                    r = lvl * p * 3 + 3 * pi
-                    px = loc_t[:, r : r + 1] * w - 0.5
-                    py = loc_t[:, r + 1 : r + 2] * h - 0.5
-                    fim = loc_t[:, r + 2 : r + 3] * nfrm - 0.5
-                    wx, dwx = _lin_weight(lane_x, px)
-                    wy, dwy = _lin_weight(lane_y, py)
-                    wf, dwf = _lin_weight(jnp.float32(fi), fim)
-                    wyvg = wy * vg
-                    s_w = jnp.sum(wx * wyvg, axis=1, keepdims=True)
-                    j = li * p + pi
-                    acc_a[j] = acc_a[j] + wf * s_w
-                    acc_x[j] = acc_x[j] + wf * jnp.sum(
-                        dwx * wyvg, axis=1, keepdims=True)
-                    acc_y[j] = acc_y[j] + wf * jnp.sum(
-                        (wx * vg) * dwy, axis=1, keepdims=True)
-                    acc_f[j] = acc_f[j] + dwf * s_w
-
         dloc_cols = []
         dattn_cols = []
         for li, ((h, w), lvl) in enumerate(zip(shapes, lvl_idx)):
+            vi = v_ref[mi, starts[li] : starts[li + 1], :].astype(jnp.bfloat16)
+            vg = jax.lax.dot_general(
+                g, vi, _dn_t, preferred_element_type=jnp.float32,
+            )                                            # [BQ, NFRM*h*w]
+            lane_x, lane_y, lane_f = lanes[li]
             for pi in range(p):
-                j = li * p + pi
+                r = lvl * p * 3 + 3 * pi
+                px = loc_t[:, r : r + 1] * w - 0.5
+                py = loc_t[:, r + 1 : r + 2] * h - 0.5
+                fim = loc_t[:, r + 2 : r + 3] * nfrm - 0.5
                 a = attn_t[:, lvl * p + pi : lvl * p + pi + 1]
-                dattn_cols.append(acc_a[j])
-                dloc_cols.append(a * acc_x[j] * w)
-                dloc_cols.append(a * acc_y[j] * h)
-                dloc_cols.append(a * acc_f[j] * nfrm)
+                wx, dwx = _lin_weight(lane_x, px)
+                wy, dwy = _lin_weight(lane_y, py)
+                wf, dwf = _lin_weight(lane_f, fim)
+                wxyf = wx * wy * wf
+                vgw = wxyf * vg
+                dattn_cols.append(jnp.sum(vgw, axis=1, keepdims=True))
+                dloc_cols.append(
+                    a * jnp.sum((dwx * wy * wf) * vg, axis=1, keepdims=True)
+                    * w)
+                dloc_cols.append(
+                    a * jnp.sum((wx * dwy * wf) * vg, axis=1, keepdims=True)
+                    * h)
+                dloc_cols.append(
+                    a * jnp.sum((wx * wy * dwf) * vg, axis=1, keepdims=True)
+                    * nfrm)
         dloc_ref[0, mi] = jnp.concatenate(dloc_cols, axis=1).astype(dloc_ref.dtype)
         dattn_ref[0, mi] = jnp.concatenate(dattn_cols, axis=1).astype(dattn_ref.dtype)
 
@@ -300,7 +307,14 @@ def msda_backward_3d(
     starts = level_splits(spatial_shapes)
     value_nm = value.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # [N,M,S,D]
 
-    bq = TINY_BQ if q <= TINY_BQ else DEFAULT_BQ
+    # the Q-minor (lqm/aqm) blocks put queries in LANES, so the backward's
+    # block size must be 128-divisible for native Mosaic lowering (the
+    # forward's 320 is fine there — queries stay in sublanes). 256 (not the
+    # 2D backward's 512): Mosaic compile time for these kernels scales with
+    # the vreg-unrolled program size (measured ~620 s at bq=512 for the
+    # merged flat q kernel); the 3D branch is an experimental mode where a
+    # fast compile matters more than the last 20% of kernel throughput.
+    bq = TINY_BQ if q <= TINY_BQ else 256
     pad = (-q) % bq
     qp = q + pad
     nblk = qp // bq
@@ -346,11 +360,13 @@ def msda_backward_3d(
 
     for lvl in sep_lvls:
         h, w = spatial_shapes[lvl]
-        v_y = (
+        # frame-major sublanes for the q kernel (lane = frame*W + x);
+        # the dv kernels need no value input (d_value is value-independent)
+        v_y_cat = (
             value_nm[:, :, starts[lvl] : starts[lvl + 1]]
             .reshape(n, m, h, w, d)
-            .transpose(0, 1, 3, 2, 4)
-            .reshape(n, m, w, h * d)
+            .transpose(1, 0, 3, 2, 4)
+            .reshape(m, n * w, h * d)
         )
         kq = functools.partial(
             _bwd3d_q_sep, h=h, w=w, d=d, m=m, p=p, bq=bq, lvl=lvl,
@@ -360,7 +376,7 @@ def msda_backward_3d(
             kq, grid=(n, nblk),
             in_specs=[
                 qa_spec2, g_spec2,
-                pl.BlockSpec((n, m, w, h * d), lambda ni, qi: (0, 0, 0, 0),
+                pl.BlockSpec((m, n * w, h * d), lambda ni, qi: (0, 0, 0),
                              **_VMEM),
             ],
             out_specs=[
@@ -374,7 +390,7 @@ def msda_backward_3d(
                 jax.ShapeDtypeStruct((n, m, qp, p), jnp.float32),
             ],
             compiler_params=_LIMIT,
-        )(qa, g_nm, v_y)
+        )(qa, g_nm, v_y_cat)
         dloc_lvl[lvl], dattn_lvl[lvl] = dq
 
         kv = functools.partial(
@@ -399,8 +415,18 @@ def msda_backward_3d(
         assert flat_lvls == list(range(flat_lvls[0], nlvl)), flat_lvls
         f_shapes = tuple(spatial_shapes[lvl] for lvl in flat_lvls)
         sum_hw = sum(hh * ww for hh, ww in f_shapes)
-        v_f = value_nm[:, :, starts[flat_lvls[0]] : starts[nlvl]]
         nfl = len(flat_lvls)
+        # level-major, frame folded into sublanes (per level: NFRM
+        # consecutive [h*w] segments) for the q kernel
+        v_lm = jnp.concatenate(
+            [
+                value_nm[:, :, starts[lvl] : starts[lvl + 1]]
+                .transpose(1, 0, 2, 3)
+                .reshape(m, -1, d)
+                for lvl in flat_lvls
+            ],
+            axis=1,
+        )                                          # [M, NFRM*sum HW, D]
 
         kq = functools.partial(
             _bwd3d_q_flat, shapes=f_shapes, lvl_idx=tuple(flat_lvls),
@@ -410,7 +436,7 @@ def msda_backward_3d(
             kq, grid=(n, nblk),
             in_specs=[
                 qa_spec2, g_spec2,
-                pl.BlockSpec((n, m, sum_hw, d), lambda ni, qi: (0, 0, 0, 0),
+                pl.BlockSpec((m, n * sum_hw, d), lambda ni, qi: (0, 0, 0),
                              **_VMEM),
             ],
             out_specs=[
@@ -424,7 +450,7 @@ def msda_backward_3d(
                 jax.ShapeDtypeStruct((n, m, qp, nfl * p), jnp.float32),
             ],
             compiler_params=_LIMIT,
-        )(qa, g_nm, v_f)
+        )(qa, g_nm, v_lm)
         for li, lvl in enumerate(flat_lvls):
             dloc_lvl[lvl] = dq[0][..., li * p * 3 : (li + 1) * p * 3]
             dattn_lvl[lvl] = dq[1][..., li * p : (li + 1) * p]
