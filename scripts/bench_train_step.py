@@ -11,7 +11,7 @@ build (scripts/count_flops.py — MSDA at true 4*L*P taps/query, remat
 recompute NOT counted: recompute is a memory-policy choice, not useful
 work) over v5e bf16 peak.
 
-Usage: python scripts/bench_train_step.py [msda_impl] [K] [dtype] [rng] [batch]
+Usage: python scripts/bench_train_step.py [msda_impl] [K] [dtype] [rng] [batch] [remat|noremat]
 """
 
 import json
@@ -42,8 +42,11 @@ def main():
 
     impl = sys.argv[1] if len(sys.argv) > 1 else "pallas"
     dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    # "noremat": skip the per-layer activation checkpointing — the f32 step
+    # OOMs a 16G chip without it, but bf16 activations are half size
+    remat = (sys.argv[6] if len(sys.argv) > 6 else "remat") != "noremat"
     cfg = ModelConfig(with_box_refine=True, binary=True, f_token=8, qtrans=True,
-                      msda_impl=impl, use_checkpoint=True, compute_dtype=dtype)
+                      msda_impl=impl, use_checkpoint=remat, compute_dtype=dtype)
     tcfg = TrainConfig()
     model = build_model(cfg)
     inputs = example_inputs(cfg, b=B, t=T, hw=(H, W), text_len=8)
@@ -108,6 +111,7 @@ def main():
         "clips_per_sec": round(steps_s * B, 3),
         "batch": B,
         "dtype": dtype,
+        "remat": remat,
         "train_mfu": round(
             TRAIN_USEFUL_FLOPS_PER_CLIP * steps_s * B / V5E_BF16_PEAK_FLOPS, 4
         ),
