@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 T, H, W = 5, 384, 640
 USEFUL_FLOPS_PER_CLIP = 1.2398e12  # scripts/count_flops.py
 V5E_BF16_PEAK_FLOPS = 197e12
-WARM_K, K, ITERS = 2, 8, 3
+WARM_K, ITERS = 2, 3
+K = int(os.environ.get("BBS_K", "8"))  # chained forwards per dispatch
 
 
 def main():

@@ -19,10 +19,15 @@ both paths and the projected split wall-clock.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")  # repo root (bench.py-style invocation)
+
+# air-gapped: skip the HF hub retry storm before the tokenizer fallback
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 import numpy as np
 
@@ -55,7 +60,7 @@ def make_engine(window: int):
 
 
 def bench_video(engine, n_frames: int, n_exps: int, exp_batch: int,
-                reps: int = 2):
+                reps: int = 2, whole_video: bool = False):
     rng = np.random.RandomState(0)
     frames = [
         rng.randint(0, 255, (360, 640, 3), np.uint8).astype(np.float32) / 255.0
@@ -65,18 +70,20 @@ def bench_video(engine, n_frames: int, n_exps: int, exp_batch: int,
             for i in range(n_exps)]
 
     # warmup both paths (compiles)
-    engine.run_video(frames[: engine.window], caps[0])
-    engine.run_video_batch(frames[: engine.window], caps, exp_batch=exp_batch)
+    engine.run_video(frames, caps[0], whole_video=whole_video)
+    engine.run_video_batch(frames, caps, exp_batch=exp_batch,
+                           whole_video=whole_video)
 
     t0 = time.time()
     for _ in range(reps):
         for c in caps:
-            engine.run_video(frames, c)
+            engine.run_video(frames, c, whole_video=whole_video)
     serial_s = (time.time() - t0) / reps
 
     t0 = time.time()
     for _ in range(reps):
-        engine.run_video_batch(frames, caps, exp_batch=exp_batch)
+        engine.run_video_batch(frames, caps, exp_batch=exp_batch,
+                               whole_video=whole_video)
     batched_s = (time.time() - t0) / reps
     return serial_s, batched_s
 
@@ -91,6 +98,11 @@ def main():
                    help="frames per window (0 = num_frames for ytvos, "
                         "num_frames for davis too — the reference's 32 was "
                         "a CUDA constraint)")
+    p.add_argument("--whole_video", action="store_true",
+                   help="bench the default ytvos protocol (the whole video "
+                        "in ONE forward, T padded to the bucket) instead of "
+                        "the windowed keep_fps protocol")
+    p.add_argument("--reps", type=int, default=2)
     args = p.parse_args()
 
     jobs = []
@@ -103,10 +115,13 @@ def main():
     for name, n_frames, n_videos in jobs:
         for n_exps in args.exps:
             serial_s, batched_s = bench_video(
-                engine, n_frames, n_exps, args.exp_batch
+                engine, n_frames, n_exps, args.exp_batch,
+                reps=args.reps, whole_video=args.whole_video,
             )
             print(json.dumps({
                 "metric": f"{name}_protocol_video_sec",
+                "mode": "whole_video" if args.whole_video else
+                        f"windowed_{engine.window}",
                 "n_frames": n_frames,
                 "n_expressions": n_exps,
                 "serial_s_per_video": round(serial_s, 3),

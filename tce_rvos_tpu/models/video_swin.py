@@ -281,6 +281,12 @@ class VideoSwinBackbone(nn.Module):
             oh, ow = x.shape[2], x.shape[3]
             outs.append(x.reshape(b * t, oh, ow, dim))
             if i < len(depths) - 1:
-                x = PatchMergingSpatial(dim, name=f"layers_{i}_downsample")(x)
+                # named to mirror the reference wrapper's HOISTED layout:
+                # VideoSwinTransformerBackbone moves each stage's downsample
+                # into a separate `downsamples` ModuleList (reference
+                # video_swin_transformer.py:666-670), so released checkpoints
+                # spell these `backbone.0.body.downsamples.{i}.*` — unlike 2D
+                # swin's `layers.{i}.downsample.*`
+                x = PatchMergingSpatial(dim, name=f"downsamples_{i}")(x)
                 dim *= 2
         return tuple(outs)

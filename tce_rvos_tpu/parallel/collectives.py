@@ -31,6 +31,29 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def encode_object(obj: Any) -> np.ndarray:
+    """Object -> uint8 JSON payload (the wire format of the gather)."""
+    return np.frombuffer(json.dumps(obj).encode("utf-8"), np.uint8)
+
+
+def decode_object(row: np.ndarray, length: int) -> Any:
+    """Inverse of encode_object on one (possibly padded) gathered row."""
+    return json.loads(bytes(np.asarray(row, np.uint8)[:length]).decode("utf-8"))
+
+
+def gather_encoded(payload: np.ndarray, gather_fn, n: int) -> List[Any]:
+    """Shared pad/gather/decode core: ``gather_fn(arr [L]) -> [n, L]`` is the
+    transport (multihost process_allgather in production; an XLA all_gather
+    over a device mesh in the multichip dryrun)."""
+    local_len = np.asarray([payload.size], np.int32)
+    all_lens = np.asarray(gather_fn(local_len)).reshape(-1)
+    max_len = int(all_lens.max())
+    padded = np.zeros((max_len,), np.uint8)
+    padded[: payload.size] = payload
+    gathered = np.asarray(gather_fn(padded))
+    return [decode_object(gathered[i], int(all_lens[i])) for i in range(n)]
+
+
 def all_gather_objects(obj: Any) -> List[Any]:
     """Gather one JSON-serializable object per process; returns the list of
     all processes' objects (single-process: [obj])."""
@@ -38,19 +61,11 @@ def all_gather_objects(obj: Any) -> List[Any]:
         return [obj]
     from jax.experimental import multihost_utils
 
-    payload = np.frombuffer(json.dumps(obj).encode("utf-8"), np.uint8)
-    # pad to the max length across processes
-    local_len = np.asarray([payload.size], np.int32)
-    all_lens = np.asarray(multihost_utils.process_allgather(local_len)).reshape(-1)
-    max_len = int(all_lens.max())
-    padded = np.zeros((max_len,), np.uint8)
-    padded[: payload.size] = payload
-    gathered = np.asarray(multihost_utils.process_allgather(padded))
-    out = []
-    for i in range(jax.process_count()):
-        raw = bytes(gathered[i][: int(all_lens[i])])
-        out.append(json.loads(raw.decode("utf-8")))
-    return out
+    return gather_encoded(
+        encode_object(obj),
+        lambda arr: np.asarray(multihost_utils.process_allgather(arr)),
+        jax.process_count(),
+    )
 
 
 def reduce_dict_mean(d: Dict[str, float]) -> Dict[str, float]:

@@ -218,6 +218,18 @@ def flax_to_torch_key(path: str) -> Optional[Tuple[str, Transform]]:
                 return f"{base}.reduction.weight", _t
             leaf, t = _norm_leaf(k)
             return f"{base}.norm.{leaf}", t
+        # video swin: the reference wrapper HOISTS each stage's downsample
+        # into a `downsamples` ModuleList (video_swin_transformer.py:666-670),
+        # so checkpoints spell them `...body.downsamples.{i}.*`; our flax
+        # module mirrors that layout (models/video_swin.py)
+        m2 = re.match(r"downsamples_(\d)/(norm|reduction)/(scale|bias|kernel)$", r)
+        if m2:
+            i, mod, k = m2.groups()
+            base = f"{bb}.downsamples.{i}"
+            if mod == "reduction":
+                return f"{base}.reduction.weight", _t
+            leaf, t = _norm_leaf(k)
+            return f"{base}.norm.{leaf}", t
 
         # ---------------- x3d backbone ----------------
         res = _x3d_leaf(bb, r)

@@ -170,6 +170,15 @@ def _install_stubs():
 
     tv_boxes.box_area = box_area
     tv_ops.boxes = tv_boxes
+
+    class RoIAlign(nn.Module):  # x3d.py:18 module-level import; only used
+        def __init__(self, *a, **k):  # by the (unbuilt) detection head
+            super().__init__()
+
+        def forward(self, *a, **k):
+            raise RuntimeError("RoIAlign stub — not used by the backbone path")
+
+    tv_ops.RoIAlign = RoIAlign
     tv.ops = tv_ops
     tv.__version__ = "0.15.0"  # util/misc.py:36 version probe
     sys.modules.setdefault("torchvision", tv)
@@ -225,11 +234,43 @@ def _install_stubs():
 
     fvwi.c2_xavier_fill = c2_xavier_fill
     fvwi.c2_msra_fill = c2_msra_fill
+
+    # faithful fvcore.nn.squeeze_excitation.SqueezeExcitation (x3d.py:16):
+    # block = Sequential(conv1, act, conv2, sigmoid) over the global
+    # spatial(-temporal) mean — key names block.{0,2}.{weight,bias} match
+    # real fvcore checkpoints (the converter maps them,
+    # utils/checkpoint.py::_x3d_torch_base)
+    fvse = _mod("fvcore.nn.squeeze_excitation")
+
+    class SqueezeExcitation(nn.Module):
+        def __init__(self, num_channels, num_channels_reduced=None,
+                     reduction_ratio=2.0, is_3d=False, activation=None):
+            super().__init__()
+            if num_channels_reduced is None:
+                num_channels_reduced = int(num_channels // reduction_ratio)
+            if activation is None:
+                activation = nn.ReLU()
+            conv = nn.Conv3d if is_3d else nn.Conv2d
+            self.is_3d = is_3d
+            self.block = nn.Sequential(
+                conv(num_channels, num_channels_reduced, kernel_size=1, bias=True),
+                activation,
+                conv(num_channels_reduced, num_channels, kernel_size=1, bias=True),
+                nn.Sigmoid(),
+            )
+
+        def forward(self, x):
+            dims = [2, 3, 4] if self.is_3d else [2, 3]
+            return x * self.block(x.mean(dim=dims, keepdim=True))
+
+    fvse.SqueezeExcitation = SqueezeExcitation
     fvnn.weight_init = fvwi
+    fvnn.squeeze_excitation = fvse
     fv.nn = fvnn
     sys.modules.setdefault("fvcore", fv)
     sys.modules.setdefault("fvcore.nn", fvnn)
     sys.modules.setdefault("fvcore.nn.weight_init", fvwi)
+    sys.modules.setdefault("fvcore.nn.squeeze_excitation", fvse)
 
     # ---- pycocotools (imported by postprocessors, unused in forward) ------
     pyc = _mod("pycocotools")
@@ -366,10 +407,10 @@ def _run_parity(reference_env, backbone: str):
     args.backbone = backbone
     torch.manual_seed(0)
     model, _, _ = ref_tce.build(args)
-    if backbone == "resnet50":
-        # the stub resnet is built with FrozenBatchNorm default stats
-        # (mean 0 / var 1) — randomize them so the converter's frozen-buffer
-        # handling is actually exercised
+    if backbone in ("resnet50", "x3d_s"):
+        # resnet's FrozenBatchNorm / x3d's BatchNorm are built with default
+        # stats (mean 0 / var 1) — randomize them so the converter's
+        # buffer handling is actually exercised
         gen = torch.Generator().manual_seed(7)
         for k, v in model.state_dict().items():
             if "backbone" in k and k.endswith("running_mean"):
@@ -427,7 +468,11 @@ def _run_parity(reference_env, backbone: str):
                 sd[k], sd[k.replace("transformer.decoder.", "")]
             )
         else:
-            assert "relative_position_index" in k, f"unconverted torch key: {k}"
+            # relative_position_index: deterministic swin buffer we recompute;
+            # num_batches_tracked: torch BN step counters, unused in eval
+            assert (
+                "relative_position_index" in k or "num_batches_tracked" in k
+            ), f"unconverted torch key: {k}"
 
     out = jax.jit(lambda v, **kw: jmodel.apply(v, **kw))(variables, **inputs)
     logits = np.asarray(out["pred_logits"])
@@ -456,6 +501,24 @@ def test_reference_forward_parity_resnet50(reference_env):
     RANDOMIZED FrozenBatchNorm running stats, end to end through the same
     converted pipeline."""
     _run_parity(reference_env, "resnet50")
+
+
+def test_reference_forward_parity_video_swin(reference_env):
+    """The DAVIS/A2D flagship backbone family
+    (/root/reference/scripts/dist_test_davis.sh:22, inf_a2d.sh:1-5): full
+    converted pipeline with video_swin_t_p4w7 — covers the (1,4,4) 3D patch
+    embed, 3D shifted-window attention with its (2t-1)(2w-1)^2 relative
+    position bias, per-stage pre-downsample outputs, and temporal window
+    padding at T < window_t (reference video_swin_transformer.py:638-697)."""
+    _run_parity(reference_env, "video_swin_t_p4w7")
+
+
+def test_reference_forward_parity_x3d(reference_env):
+    """x3d_s end to end through the converted pipeline: round_width /
+    round_repeats arithmetic, SE-on-alternate-blocks, BatchNorm running
+    stats (randomized below so buffer conversion is actually exercised),
+    and the b c t h w layout into the 3D convs (reference x3d.py:1498-1537)."""
+    _run_parity(reference_env, "x3d_s")
 
 
 def test_reference_criterion_parity(reference_env):
