@@ -22,10 +22,11 @@ def main():
     from tce_rvos_tpu.utils.precision import apply_compute_dtype
 
     dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 1  # batch (serving E)
     cfg = ModelConfig(with_box_refine=True, binary=True, f_token=8, qtrans=True,
                       msda_impl="pallas", compute_dtype=dtype)
     model = build_model(cfg)
-    inputs = example_inputs(cfg, b=1, t=T, hw=(H, W), text_len=8)
+    inputs = example_inputs(cfg, b=b, t=T, hw=(H, W), text_len=8)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
     variables, inputs = apply_compute_dtype(cfg, variables, inputs)
 

@@ -66,6 +66,59 @@ def _pad_to(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
 
+# ---------------------------------------------------------------------------
+# serving trunk envelope: how many (expression x frame) frames fit one
+# text-conditioned trunk dispatch (VERDICT r4 items 7/8 — replaces the
+# round-4 hard-coded ``40 // win`` whole-video cap).
+#
+# Memory model — XLA's own buffer assignment, measured on v5e by
+# scripts/derive_memory_envelope.py at 384x640 bf16 (BASELINE.md round 5,
+# 9 (E, T) points, E*T in [8, 80]):
+#     trunk_peak_gib ~= 0.43 + 0.085 * (E*T), max |resid| 0.31
+# The base below folds the fit residual in as margin. Activation bytes scale
+# with the padded pixel count, so other buckets scale the slope by
+# (h*w)/(384*640).
+#
+# Perf knee — the measured batch-scaling curve (scripts/bench_batch_scaling
+# .py, BASELINE.md round 5): ms/clip is FLAT from 5 to 20 frames/forward
+# (41.6 ms/clip) and collapses 2.6x at 40 frames (109.5 ms/clip), while XLA's
+# peak-memory fit says 40 frames is only ~3.8 GiB — a perf cliff, not an
+# OOM; the envelope caps at the knee even when memory would allow more.
+# ---------------------------------------------------------------------------
+
+_MEM_BASE_GIB = 0.75        # fit intercept 0.43 + max residual 0.31
+_MEM_PER_FRAME_GIB = 0.085  # fit slope at 384x640 bf16
+_PERF_KNEE_FRAMES = 20      # flat through 20 frames/forward; 2.6x worse at 40
+_DEFAULT_HBM_GIB = 16.0     # v5e
+_HBM_SAFETY = 0.85
+
+
+def trunk_frame_envelope(
+    hw: Tuple[int, int] = (384, 640),
+    hbm_gib: Optional[float] = None,
+    apply_perf_knee: bool = True,
+) -> int:
+    """Max E*T frames per trunk dispatch: min(memory fit, perf knee)."""
+    if hbm_gib is None:
+        hbm_gib = _DEFAULT_HBM_GIB
+        try:  # honor the real device when its stats are exposed
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and stats.get("bytes_limit"):
+                hbm_gib = stats["bytes_limit"] / 2**30
+        except Exception:
+            pass
+    scale = (hw[0] * hw[1]) / (384.0 * 640.0)
+    avail = hbm_gib * _HBM_SAFETY - _MEM_BASE_GIB
+    mem_frames = max(1, int(avail / (_MEM_PER_FRAME_GIB * scale)))
+    if apply_perf_knee:
+        # the knee tracks activation BYTES (HBM pressure), so it scales with
+        # the pixel count like the memory term; at tiny test resolutions it
+        # is far above the memory fit and never binds
+        knee = max(1, int(_PERF_KNEE_FRAMES / scale))
+        return max(1, min(mem_frames, knee))
+    return mem_frames
+
+
 class InferenceEngine:
     """Jitted, shape-bucketed forward over padded clips. ``device`` pins the
     engine to one accelerator (the variables are committed there, so every
@@ -278,9 +331,17 @@ class InferenceEngine:
         win = self.window
         if whole_video:
             win = max(-(-t_total // self.t_bucket) * self.t_bucket, self.t_bucket)
-            # keep E*T inside the proven whole-video memory envelope
-            # (T-bucket 40 runs OOM-free on a 16G chip — BASELINE.md)
-            exp_batch = max(1, min(exp_batch, 40 // win))
+        # cap E per trunk dispatch by the measured envelope (memory fit +
+        # perf knee at the engine's padded bucket) — BOTH modes: round 4's
+        # hard-coded whole-video-only ``40 // win`` left the windowed
+        # protocols free to build arbitrarily large (E * win)-frame trunk
+        # programs (davis at window=32 x exp_batch=8 = 256 frames — far past
+        # the measured 2.6x perf cliff at 40)
+        h0, w0 = frames[0].shape[:2]
+        oh, ow = get_size_with_aspect_ratio((h0, w0), self.size, self.max_size)
+        bucket_hw = (_pad_to(oh, self.pad_mult), _pad_to(ow, self.pad_mult))
+        envelope = trunk_frame_envelope(bucket_hw)
+        exp_batch = max(1, min(exp_batch, envelope // (win + 2 * f_extra)))
         text_ids, text_attn = tokenize([str(c) for c in captions])
 
         # expression chunks: full exp_batch blocks + a pow2-padded tail
