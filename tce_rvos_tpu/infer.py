@@ -79,16 +79,16 @@ def _pad_to(x: int, mult: int) -> int:
 # with the padded pixel count, so other buckets scale the slope by
 # (h*w)/(384*640).
 #
-# Perf knee — the measured batch-scaling curve (scripts/bench_batch_scaling
-# .py, BASELINE.md round 5): ms/clip is FLAT from 5 to 20 frames/forward
-# (41.6 ms/clip) and collapses 2.6x at 40 frames (109.5 ms/clip), while XLA's
-# peak-memory fit says 40 frames is only ~3.8 GiB — a perf cliff, not an
-# OOM; the envelope caps at the knee even when memory would allow more.
+# Perf: the batch-scaling curve (scripts/bench_batch_scaling.py, BASELINE.md
+# round 5) is FLAT through 40 frames/forward (41.6-42.9 ms/clip at 5..40),
+# so memory is the ONLY bound. (An apparent 2.6x "cliff" at 40 frames was a
+# measurement artifact: a CPU-pegged concurrent process starving the host
+# dispatch loop; the device timeline of the same executable and a clean
+# re-run both show ~42.6 ms/clip.)
 # ---------------------------------------------------------------------------
 
 _MEM_BASE_GIB = 0.75        # fit intercept 0.43 + max residual 0.31
 _MEM_PER_FRAME_GIB = 0.085  # fit slope at 384x640 bf16
-_PERF_KNEE_FRAMES = 20      # flat through 20 frames/forward; 2.6x worse at 40
 _DEFAULT_HBM_GIB = 16.0     # v5e
 _HBM_SAFETY = 0.85
 
@@ -96,9 +96,8 @@ _HBM_SAFETY = 0.85
 def trunk_frame_envelope(
     hw: Tuple[int, int] = (384, 640),
     hbm_gib: Optional[float] = None,
-    apply_perf_knee: bool = True,
 ) -> int:
-    """Max E*T frames per trunk dispatch: min(memory fit, perf knee)."""
+    """Max E*T frames per trunk dispatch under the XLA peak-memory fit."""
     if hbm_gib is None:
         hbm_gib = _DEFAULT_HBM_GIB
         try:  # honor the real device when its stats are exposed
@@ -109,14 +108,7 @@ def trunk_frame_envelope(
             pass
     scale = (hw[0] * hw[1]) / (384.0 * 640.0)
     avail = hbm_gib * _HBM_SAFETY - _MEM_BASE_GIB
-    mem_frames = max(1, int(avail / (_MEM_PER_FRAME_GIB * scale)))
-    if apply_perf_knee:
-        # the knee tracks activation BYTES (HBM pressure), so it scales with
-        # the pixel count like the memory term; at tiny test resolutions it
-        # is far above the memory fit and never binds
-        knee = max(1, int(_PERF_KNEE_FRAMES / scale))
-        return max(1, min(mem_frames, knee))
-    return mem_frames
+    return max(1, int(avail / (_MEM_PER_FRAME_GIB * scale)))
 
 
 class InferenceEngine:
@@ -331,17 +323,21 @@ class InferenceEngine:
         win = self.window
         if whole_video:
             win = max(-(-t_total // self.t_bucket) * self.t_bucket, self.t_bucket)
-        # cap E per trunk dispatch by the measured envelope (memory fit +
-        # perf knee at the engine's padded bucket) — BOTH modes: round 4's
-        # hard-coded whole-video-only ``40 // win`` left the windowed
-        # protocols free to build arbitrarily large (E * win)-frame trunk
-        # programs (davis at window=32 x exp_batch=8 = 256 frames — far past
-        # the measured 2.6x perf cliff at 40)
+        # cap E per trunk dispatch by the measured memory envelope at the
+        # engine's padded bucket — BOTH modes: round 4's hard-coded
+        # whole-video-only ``40 // win`` left the windowed protocols free to
+        # build arbitrarily large (E * win)-frame trunk programs, and was
+        # itself 4x too conservative (the fit says ~150 frames at 384x640)
         h0, w0 = frames[0].shape[:2]
         oh, ow = get_size_with_aspect_ratio((h0, w0), self.size, self.max_size)
         bucket_hw = (_pad_to(oh, self.pad_mult), _pad_to(ow, self.pad_mult))
-        envelope = trunk_frame_envelope(bucket_hw)
-        exp_batch = max(1, min(exp_batch, envelope // (win + 2 * f_extra)))
+        cap = trunk_frame_envelope(bucket_hw) // (win + 2 * f_extra)
+        # chunks below pad E up to a power of two (bounds compile count), so
+        # the memory bound must hold at the PADDED width: floor to pow2
+        p2 = 1
+        while p2 * 2 <= cap:
+            p2 *= 2
+        exp_batch = max(1, min(exp_batch, p2))
         text_ids, text_attn = tokenize([str(c) for c in captions])
 
         # expression chunks: full exp_batch blocks + a pow2-padded tail
