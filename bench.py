@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -182,6 +183,16 @@ def main():
         "serving_exp_windows_per_sec": round(exp_windows_per_sec, 4),
         "serving_speedup_vs_serial": round(serving_speedup, 4),
     }
+    # surface the last recorded train-step bench (scripts/bench_train_step.py
+    # writes TRAIN_BENCH.json for the deployment bf16+remat config) so the
+    # driver-captured JSON carries training perf too; carries its own
+    # measured_at stamp — it is NOT re-measured here (a train-step compile
+    # is ~12 min through the remote-compile tunnel)
+    train_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "TRAIN_BENCH.json")
+    if os.path.exists(train_path):
+        with open(train_path) as fh:
+            result["train"] = json.load(fh)
     print(json.dumps(result))
 
 

@@ -104,7 +104,7 @@ def main():
         f"train step ({impl}): {ms_step:.1f} ms/step "
         f"({steps_s:.3f} steps/s, clip={B}x{T}x{H}x{W}, checksum {tot:.3f})"
     )
-    print(json.dumps({
+    result = {
         "metric": "flagship_train_step",
         "ms_per_step": round(ms_step, 1),
         "steps_per_sec": round(steps_s, 3),
@@ -115,7 +115,20 @@ def main():
         "train_mfu": round(
             TRAIN_USEFUL_FLOPS_PER_CLIP * steps_s * B / V5E_BF16_PEAK_FLOPS, 4
         ),
-    }))
+    }
+    print(json.dumps(result))
+    # the driver only snapshots bench.py's stdout (BENCH_r*.json); persist
+    # the deployment-config (bf16+remat) number so bench.py can surface it
+    # there (VERDICT r4 weak #6)
+    if dtype == "bfloat16" and remat:
+        import datetime
+
+        result["measured_at"] = datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat(timespec="seconds")
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo_root, "TRAIN_BENCH.json"), "w") as fh:
+            json.dump(result, fh)
 
 
 if __name__ == "__main__":
